@@ -1,0 +1,105 @@
+"""O4/O6: identifier parsing, normalization, and idspace resolution.
+
+The reference's ``Ident`` sum type (Unprefixed | Prefixed | Url,
+``/root/reference/src/py/id.rs:130-136``) and its ``fastobo.id.parse``
+3-way dispatch (``id.rs:53-63``) become pure column expressions — no UDF:
+kind is derivable from shape, prefix/local from the first colon.
+
+URL⇄prefix compaction reproduces ``OboDoc.compact_ids`` /
+``decompact_ids`` (``src/py/doc.rs:210-285``): per-document ``idspace:``
+header declarations (``header/clause.rs:1076-1100``) plus the default
+``http://purl.obolibrary.org/obo/<PREFIX>_<LOCAL>`` OBO PURL rule.  The
+per-doc idspace map is a tiny dimension — broadcast joined, never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+OBO_PURL = "http://purl.obolibrary.org/obo/"
+
+
+def ident_kind(col: Column) -> Column:
+    """'url' | 'prefixed' | 'unprefixed' (dispatch per id.rs:53-63)."""
+    return (
+        F.when(col.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), F.lit("url"))
+        .when(col.contains(":"), F.lit("prefixed"))
+        .otherwise(F.lit("unprefixed"))
+    )
+
+
+def ident_prefix(col: Column) -> Column:
+    """Idspace prefix of a prefixed ident, else NULL (PrefixedIdent.prefix,
+    id.rs:226-228)."""
+    return F.when(ident_kind(col) == "prefixed", F.substring_index(col, ":", 1))
+
+
+def ident_local(col: Column) -> Column:
+    """Local part after the first colon (PrefixedIdent.local)."""
+    return F.when(
+        ident_kind(col) == "prefixed",
+        F.substring(col, F.instr(col, ":") + F.lit(1), F.lit(2147483647)),
+    )
+
+
+def compact_url(col: Column) -> Column:
+    """URL → prefixed via the default OBO PURL rule
+    (``http://purl.obolibrary.org/obo/CHEBI_27958`` → ``CHEBI:27958``,
+    round-trip doctest at doc.rs:219-234). Non-matching values pass through.
+    """
+    m = F.regexp_extract(col, r"^http://purl\.obolibrary\.org/obo/([A-Za-z0-9]+)_([A-Za-z0-9]+)$", 0)
+    pfx = F.regexp_extract(col, r"^http://purl\.obolibrary\.org/obo/([A-Za-z0-9]+)_([A-Za-z0-9]+)$", 1)
+    loc = F.regexp_extract(col, r"^http://purl\.obolibrary\.org/obo/([A-Za-z0-9]+)_([A-Za-z0-9]+)$", 2)
+    return F.when(m != "", F.concat(pfx, F.lit(":"), loc)).otherwise(col)
+
+
+def decompact_prefixed(col: Column) -> Column:
+    """Prefixed → URL via the default OBO PURL rule (doc.rs:250-285)."""
+    return F.when(
+        ident_kind(col) == "prefixed",
+        F.concat(F.lit(OBO_PURL), F.regexp_replace(col, ":", "_")),
+    ).otherwise(col)
+
+
+def idspace_map(clauses: DataFrame) -> DataFrame:
+    """Per-document idspace declarations: (doc_sha, prefix, url_base).
+
+    Tiny dimension (a handful of rows per doc) — always broadcast.
+    """
+    return (
+        clauses.where((F.col("frame_type") == "Header") & (F.col("tag") == "idspace"))
+        .select("doc_sha", F.col("v1").alias("prefix"), F.col("v2").alias("url_base"))
+        .dropDuplicates(["doc_sha", "prefix"])
+    )
+
+
+def compact_with_idspaces(df: DataFrame, ident_col: str, clauses: DataFrame) -> DataFrame:
+    """Compact URL idents using per-doc ``idspace:`` declarations first,
+    then the default PURL rule.  Broadcast join on (doc_sha) — the idspace
+    dimension is per-document metadata, never large.
+    """
+    ids = F.broadcast(idspace_map(clauses))
+    c = F.col(ident_col)
+    joined = df.join(
+        ids,
+        (df["doc_sha"] == ids["doc_sha"]) & c.startswith(ids["url_base"]),
+        "left",
+    ).drop(ids["doc_sha"])
+    compacted = F.when(
+        F.col("url_base").isNotNull(),
+        F.concat(F.col("prefix"), F.lit(":"), F.expr(f"substring({ident_col}, length(url_base) + 1)")),
+    ).otherwise(compact_url(c))
+    return joined.withColumn(ident_col, compacted).drop("prefix", "url_base")
+
+
+def edge_idspace(col: Column) -> Column:
+    """Partitioning idspace of an ident: prefix for prefixed ids, 'URL'
+    bucket for urls, 'UNPREFIXED' otherwise. Drives partitionBy + salting
+    (O18)."""
+    k = ident_kind(col)
+    return (
+        F.when(k == "prefixed", F.substring_index(col, ":", 1))
+        .when(k == "url", F.lit("URL"))
+        .otherwise(F.lit("UNPREFIXED"))
+    )

@@ -1,0 +1,103 @@
+"""O1–O3: corpus scan → OBO filter → vectorized parse → clause rows.
+
+Replaces the reference's parsing entry points (``fastobo.load/loads/iter``,
+``/root/reference/src/py/mod.rs:110-296``) with one Arrow-batched
+``mapInPandas`` stage: a batch of ``content`` strings in, pre-exploded
+clause rows out.  Parse parallelism — the reference's ``threads`` knob
+(``src/py/mod.rs:86-88``, ``src/iter.rs:80-94``) — becomes Spark task
+parallelism across corpus partitions; ``ordered=True`` reassembly
+(``src/iter.rs:151-161``) becomes the ``frame_ix``/``clause_ix`` sort keys.
+
+Malformed documents become quarantine rows, not job failures: at
+10^12-file scale a single bad file must not kill a stage, and a second
+scan just to find errors would double the I/O — so clause and error rows
+come out of the same pass, discriminated by ``is_error``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fastobo_py_spark.obo.parser import CLAUSE_FIELDS, ParseError, parse_document
+from fastobo_py_spark.schema import PARSE_OUTPUT_SCHEMA
+
+_N_CLAUSE_COLS = len(CLAUSE_FIELDS)
+_EMPTY_CLAUSE = (None,) * _N_CLAUSE_COLS
+_OUT_COLS = [f.name for f in PARSE_OUTPUT_SCHEMA.fields]
+
+
+def is_obo_document(content_col, lang_col=None):
+    """O1 predicate: cheap column-level OBO sniff, pushed into the scan.
+
+    A file is OBO if tagged ``lang='OBO'`` or its content starts with a
+    ``format-version:`` header / contains a frame header. Runs entirely
+    JVM-side so Catalyst can pipeline it with the parquet scan.
+    """
+    sniff = content_col.rlike(r"(?s)\A\s*format-version:|(?s)\A[^\[]{0,4096}\n\[(Term|Typedef|Instance)\]")
+    if lang_col is not None:
+        return (lang_col == "OBO") | sniff
+    return sniff
+
+
+def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (repo, path, content) batches → clause/error rows."""
+    for pdf in batches:
+        out: list[tuple] = []
+        repos = pdf["repo"].to_numpy()
+        paths = pdf["path"].to_numpy()
+        contents = pdf["content"].to_numpy()
+        for i in range(len(pdf)):
+            content = contents[i]
+            if content is None:
+                continue
+            sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
+            meta = (sha, repos[i], paths[i])
+            try:
+                clause_rows = parse_document(content)
+            except ParseError as e:
+                out.append(meta + _EMPTY_CLAUSE + (True, "SyntaxError", str(e), e.line_no))
+                continue
+            except Exception as e:  # lenient: any bug quarantines the doc
+                out.append(meta + _EMPTY_CLAUSE + (True, type(e).__name__, str(e), None))
+                continue
+            tail = (False, None, None, None)
+            out.extend(meta + r + tail for r in clause_rows)
+        yield pd.DataFrame(out, columns=_OUT_COLS)
+
+
+def parse_corpus(corpus: DataFrame, pre_filter: bool = True) -> DataFrame:
+    """Corpus table → combined clause+quarantine DataFrame (lazy).
+
+    Only (repo, path, content) are shipped through Arrow — Catalyst prunes
+    every other column out of the scan (check ReadSchema in .explain()).
+    """
+    df = corpus
+    if pre_filter:
+        lang = F.col("lang") if "lang" in corpus.columns else None
+        df = df.where(is_obo_document(F.col("content"), lang))
+    df = df.select("repo", "path", "content")
+    return df.mapInPandas(_parse_batches, schema=PARSE_OUTPUT_SCHEMA)
+
+
+def split_parsed(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split the combined parse output into (clauses, quarantine)."""
+    clauses = parsed.where(~F.col("is_error")).drop("is_error", "error_kind", "error_msg", "line_no")
+    quarantine = parsed.where(F.col("is_error")).select(
+        "doc_sha", "repo", "path", "error_kind", "error_msg", "line_no"
+    )
+    return clauses, quarantine
+
+
+def frame_counts(clauses: DataFrame) -> DataFrame:
+    """O13: per-document frame counts (reference: ``len(doc)``,
+    ``src/py/doc.rs:188-190``; MS fixture = 2941, ``tests/test_fastobo.py:11``)."""
+    return (
+        clauses.where(F.col("frame_type") != "Header")
+        .groupBy("doc_sha")
+        .agg(F.countDistinct("frame_ix").alias("n_frames"))
+    )
