@@ -259,7 +259,7 @@ def skip_ws(s: str, i: int) -> int:
 
 
 def parse_xref_list(s: str, start: int = 0):
-    """Parse ``[id "desc", id2, ...]`` → (list[(id, desc|None)], end_index).
+    r"""Parse ``[id "desc", id2, ...]`` → (list[(id, desc|None)], end_index).
 
     ``s[start]`` must be ``[``. Ids may contain escaped ``\,``/``\]``;
     descs are optional quoted strings (``src/py/xref.rs:49-55``).

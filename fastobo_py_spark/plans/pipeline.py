@@ -1,0 +1,133 @@
+"""O19 + orchestration: the full corpus→KG job, resumable mid-run.
+
+North-rule requirements implemented here:
+  * per-partition checkpointed lineage: every completed source row is
+    recorded in a manifest keyed by (repo, path, commit, content_sha256);
+    a restarted run anti-joins the corpus against the manifest and only
+    processes the remainder (no reference analogue — fastobo-py is a
+    single-process library; this is the 10^12-file-scale addition).
+  * metrics: per-stage row counts written next to the outputs.
+
+The manifest is append-only parquet (an Iceberg table on a real cluster,
+where commit atomicity comes from the table format; locally, parquet
+append of one sub-directory per batch gives the same crash-consistency:
+a batch is visible only after its files commit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastobo_py_spark.operators.canonicalize import apply_xref_macros, rewrite_edges
+from fastobo_py_spark.operators.components import canonical_rewrite, equivalence_components
+from fastobo_py_spark.operators.materialize import build_nodes, with_salt
+from fastobo_py_spark.operators.parse import parse_corpus, split_parsed
+from fastobo_py_spark.operators.triples import extract_edges
+
+MANIFEST_COLS = ("doc_sha", "repo", "path", "commit")
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    p = _manifest_path(out_dir)
+    try:
+        return spark.read.parquet(p)
+    except Exception:
+        return None
+
+
+def pending_corpus(spark: SparkSession, corpus: DataFrame, out_dir: str) -> DataFrame:
+    """Anti-join the corpus against the manifest: only unprocessed rows.
+
+    The sha is computed JVM-side (F.sha2) so the anti-join prunes rows
+    BEFORE anything crosses into Python. left_anti on (sha, repo, path,
+    commit) — the per-row invariant key from BASELINE.json input_hint.
+    """
+    withsha = corpus.withColumn("doc_sha", F.sha2(F.col("content"), 256))
+    manifest = read_manifest(spark, out_dir)
+    if manifest is None:
+        return withsha
+    return withsha.join(
+        F.broadcast(manifest.select(*MANIFEST_COLS).dropDuplicates()),
+        on=list(MANIFEST_COLS),
+        how="left_anti",
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    resume: bool = True,
+    n_salts: int = 16,
+    canonicalize: bool = True,
+) -> dict:
+    """Run the full OBO→KG job; returns the metrics dict.
+
+    Stages: filter+parse → quarantine split → triple extraction →
+    treat-xrefs macros → alias/obsolete rewrite → equivalence CC →
+    nodes+edges write (idspace-partitioned, salted) → manifest append.
+    """
+    t0 = time.time()
+    batch_id = uuid.uuid4().hex[:12]
+
+    src = pending_corpus(spark, corpus, out_dir) if resume else corpus.withColumn(
+        "doc_sha", F.sha2(F.col("content"), 256)
+    )
+    src = src.select("repo", "path", "commit", "lang", "content", "doc_sha")
+
+    parsed = parse_corpus(src)
+    clauses, quarantine = split_parsed(parsed)
+    # one pass over the corpus feeds every downstream stage
+    clauses = clauses.persist()
+
+    edges = extract_edges(clauses)
+    edges = apply_xref_macros(edges, clauses)
+    if canonicalize:
+        edges = rewrite_edges(edges, clauses)
+        comps = equivalence_components(edges)
+        edges = canonical_rewrite(edges, comps)
+    edges = edges.dropDuplicates(["subj", "pred", "obj", "doc_sha"])
+    nodes = build_nodes(clauses)
+
+    nodes.write.mode("append").partitionBy("idspace").parquet(os.path.join(out_dir, "nodes"))
+    with_salt(edges, "subj", n_salts).write.mode("append").partitionBy("idspace", "salt").parquet(
+        os.path.join(out_dir, "edges")
+    )
+    quarantine.write.mode("append").parquet(os.path.join(out_dir, "quarantine"))
+
+    # manifest append LAST: a crash before this line leaves the batch
+    # unrecorded and it reruns idempotently (outputs keyed by doc_sha are
+    # deduplicated by readers; Iceberg would make this a single atomic commit)
+    done = (
+        src.select("repo", "path", "commit", "doc_sha")
+        .dropDuplicates()
+        .withColumn("batch_id", F.lit(batch_id))
+        .withColumn("completed_at", F.current_timestamp())
+    )
+    done.write.mode("append").parquet(_manifest_path(out_dir))
+
+    metrics = {
+        "batch_id": batch_id,
+        "docs_in_batch": done.count(),
+        "clause_rows": clauses.count(),
+        "quarantined_docs": quarantine.count(),
+        "edges": edges.count(),
+        "nodes": nodes.count(),
+        "elapsed_sec": round(time.time() - t0, 3),
+    }
+    clauses.unpersist()
+    metrics_dir = os.path.join(out_dir, "_metrics")
+    os.makedirs(metrics_dir, exist_ok=True)
+    with open(os.path.join(metrics_dir, f"{batch_id}.json"), "w") as fh:
+        json.dump(metrics, fh)
+    return metrics

@@ -112,7 +112,7 @@ def make_plana_like(doc_ix: int, n_terms: int = 30, n_typedefs: int = 10) -> str
         out.append("")
     for d in range(n_typedefs):
         out.append("[Typedef]")
-        out.append(f"id: BSPO:{d:07d}")
+        out.append(f"id: BSPO:9{d:06d}")
         out.append(f"name: relation {d}")
         out.append(f"namespace: planarian_relation")
         if d % 2:

@@ -1,0 +1,146 @@
+"""Parser-level tests against the REAL reference fixtures and targeted
+grammar features (no Spark). Golden counts come from the reference's own
+test suite: ms.obo == 2941 frames (tests/test_fastobo.py:11)."""
+
+import pytest
+
+from fastobo_py_spark.obo.parser import CLAUSE_FIELDS, ParseError, parse_document
+
+IX = {f: i for i, f in enumerate(CLAUSE_FIELDS)}
+
+MS_PATH = "/root/reference/tests/data/ms.obo"
+PLANA_PATH = "/root/reference/tests/data/plana.obo"
+
+
+@pytest.fixture(scope="module")
+def ms_rows():
+    return parse_document(open(MS_PATH).read())
+
+
+@pytest.fixture(scope="module")
+def plana_rows():
+    return parse_document(open(PLANA_PATH).read())
+
+
+def _frames(rows):
+    return {r[IX["frame_ix"]] for r in rows if r[IX["frame_type"]] != "Header"}
+
+
+def test_ms_frame_count(ms_rows):
+    assert len(_frames(ms_rows)) == 2941  # reference tests/test_fastobo.py:10-11
+
+
+def test_ms_frame_types(ms_rows):
+    ids = [r for r in ms_rows if r[IX["tag"]] == "id"]
+    assert sum(1 for r in ids if r[IX["frame_type"]] == "Term") == 2936
+    assert sum(1 for r in ids if r[IX["frame_type"]] == "Typedef") == 5
+
+
+def test_plana_frame_count(plana_rows):
+    assert len(_frames(plana_rows)) == 577  # 495 Term + 82 Typedef
+
+
+def test_escaped_ident_xref(ms_rows):
+    # ms.obo line 39: xref: value-type:xsd\:string "The allowed value-type..."
+    xr = [r for r in ms_rows if r[IX["tag"]] == "xref" and r[IX["v1"]] == "value-type:xsd:string"]
+    assert xr, "escaped ident xref not parsed"
+    assert xr[0][IX["value_text"]].startswith("The allowed value-type")
+
+
+def test_is_a_with_comment(ms_rows):
+    r = next(r for r in ms_rows if r[IX["tag"]] == "is_a" and r[IX["v1"]] == "MS:1000548")
+    assert r[IX["comment"]] == "sample attribute"
+
+
+def test_def_with_xref_list(ms_rows):
+    r = next(r for r in ms_rows if r[IX["tag"]] == "def" and r[IX["frame_id"]] == "MS:0000000")
+    assert r[IX["value_text"]].startswith("Proteomics Standards Initiative")
+    assert ("PSI:MS", None) in r[IX["xrefs"]]
+
+
+def test_synonym_scope_and_xrefs(plana_rows):
+    syns = [r for r in plana_rows if r[IX["tag"]] == "synonym"]
+    assert all(r[IX["scope"]] in ("EXACT", "BROAD", "NARROW", "RELATED", None) for r in syns)
+    r = next(r for r in plana_rows if r[IX["tag"]] == "synonym" and r[IX["value_text"]] == "left")
+    assert r[IX["scope"]] == "EXACT"
+    assert r[IX["xrefs"]] == []
+
+
+def test_genus_differentia_macro_expansion(plana_rows):
+    # plana.obo line 6 packs two macros on one line
+    m = [r for r in plana_rows if r[IX["tag"]] == "treat-xrefs-as-genus-differentia"]
+    assert [(r[IX["v1"]], r[IX["v2"]], r[IX["value_text"]]) for r in m] == [
+        ("CARO", "part_of", "NCBITaxon:79327"),
+        ("CL", "part_of", "NCBITaxon:79327"),
+    ]
+
+
+def test_relationship_pair(plana_rows):
+    r = next(r for r in plana_rows if r[IX["tag"]] == "relationship" and r[IX["frame_id"]] == "BSPO:0000000")
+    assert (r[IX["v1"]], r[IX["v2"]]) == ("BSPO:0000110", "BSPO:0000007")
+    assert r[IX["comment"]] == "left_of right side"
+
+
+def test_qualifier_block():
+    rows = parse_document("format-version: 1.2\n\n[Term]\nid: X:1\nrelationship: part_of X:2 {source=\"synth\"} ! c\n")
+    r = next(r for r in rows if r[IX["tag"]] == "relationship")
+    assert r[IX["qualifiers"]] == [("source", "synth")]
+    assert r[IX["comment"]] == "c"
+
+
+def test_intersection_of_genus_vs_differentia():
+    doc = "format-version: 1.2\n\n[Term]\nid: GO:3\nintersection_of: GO:1\nintersection_of: part_of GO:2\n"
+    rows = parse_document(doc)
+    inter = [r for r in rows if r[IX["tag"]] == "intersection_of"]
+    assert (inter[0][IX["v1"]], inter[0][IX["v2"]]) == (None, "GO:1")  # genus
+    assert (inter[1][IX["v1"]], inter[1][IX["v2"]]) == ("part_of", "GO:2")  # differentia
+
+
+def test_property_value_literal_and_resource():
+    doc = (
+        "format-version: 1.2\n\n[Term]\nid: X:1\n"
+        'property_value: IAO:0000412 "2.5" xsd:float\n'
+        "property_value: seeAlso X:2\n"
+    )
+    rows = parse_document(doc)
+    pv = [r for r in rows if r[IX["tag"]] == "property_value"]
+    assert (pv[0][IX["v1"]], pv[0][IX["value_text"]], pv[0][IX["datatype"]]) == ("IAO:0000412", "2.5", "xsd:float")
+    assert (pv[1][IX["v1"]], pv[1][IX["v2"]]) == ("seeAlso", "X:2")
+
+
+def test_boolean_clauses():
+    doc = "format-version: 1.2\n\n[Typedef]\nid: part_of\nis_transitive: true\nis_cyclic: false\n"
+    rows = parse_document(doc)
+    assert next(r[IX["v1"]] for r in rows if r[IX["tag"]] == "is_transitive") == "true"
+    assert next(r[IX["v1"]] for r in rows if r[IX["tag"]] == "is_cyclic") == "false"
+
+
+def test_broken_frame_raises():
+    with pytest.raises(ParseError) as ei:
+        parse_document("format-version: 1.2\n\n[Term\nid: X:1\n")
+    assert ei.value.line_no == 3
+
+
+def test_tagless_line_raises():
+    with pytest.raises(ParseError):
+        parse_document("format-version: 1.2\n\n[Term]\nid: X:1\nno tag separator here\n")
+
+
+def test_header_clauses(ms_rows):
+    hdr = {r[IX["tag"]]: r for r in ms_rows if r[IX["frame_type"]] == "Header"}
+    assert hdr["format-version"][IX["value_text"]] == "1.2"
+    assert hdr["date"][IX["value_text"]] == "25:03:2019 16:28"
+    imports = [r[IX["v1"]] for r in ms_rows if r[IX["tag"]] == "import"]
+    assert imports == [
+        "http://ontologies.berkeleybop.org/pato.obo",
+        "http://ontologies.berkeleybop.org/uo.obo",
+    ]
+
+
+def test_clause_order_preserved(ms_rows):
+    # ordered=True analogue: clause_ix strictly increasing within a frame
+    by_frame = {}
+    for r in ms_rows:
+        by_frame.setdefault(r[IX["frame_ix"]], []).append(r[IX["clause_ix"]])
+    for ixs in by_frame.values():
+        assert ixs == sorted(ixs) == list(range(len(ixs)))

@@ -1,0 +1,134 @@
+"""Spark dataflow vs the independent pure-Python oracle, plus pipeline
+behaviors (quarantine, resume, CC, nodes). The P/R gate mirrors
+BASELINE.json: triple parity >= 0.95 — we assert == 1.0 on the synthetic
+corpus."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from fastobo_py_spark import oracle
+from fastobo_py_spark.operators.canonicalize import apply_xref_macros, rewrite_edges
+from fastobo_py_spark.operators.components import (
+    canonical_rewrite,
+    connected_components,
+    equivalence_components,
+)
+from fastobo_py_spark.operators.materialize import build_nodes, top_k_per_idspace
+from fastobo_py_spark.operators.parse import frame_counts, parse_corpus, split_parsed
+from fastobo_py_spark.operators.triples import extract_edges
+
+
+def test_parse_counts(spark, corpus, clauses, corpus_rows):
+    py_clauses, py_quar = oracle.parse_rows(corpus_rows)
+    assert clauses.count() == len(py_clauses)
+    _, quarantine = split_parsed(parse_corpus(corpus))
+    assert quarantine.count() == len(py_quar) == 2
+
+
+def test_doc_sha_invariant(spark, clauses, corpus_rows):
+    import hashlib
+
+    want = {hashlib.sha256(r["content"].encode()).hexdigest() for r in corpus_rows if r["lang"] == "OBO"}
+    got = {r["doc_sha"] for r in clauses.select("doc_sha").distinct().collect()}
+    assert got <= want  # parsed docs are a subset (broken ones quarantined)
+    assert len(want - got) == 2
+
+
+def test_frame_counts_vs_oracle(spark, clauses, corpus_rows):
+    got = {r["doc_sha"]: r["n_frames"] for r in frame_counts(clauses).collect()}
+    import hashlib
+    from collections import Counter
+
+    want = Counter()
+    for row in corpus_rows:
+        if row["lang"] != "OBO":
+            continue
+        sha = hashlib.sha256(row["content"].encode()).hexdigest()
+        try:
+            rows = oracle.parse_document(row["content"])
+        except Exception:
+            continue
+        want[sha] = len({r[2] for r in rows if r[0] != "Header"})
+    assert got == dict(want)
+
+
+def test_edges_raw_vs_oracle(spark, clauses, corpus_rows):
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["doc_sha"])
+        for r in extract_edges(clauses).dropDuplicates(["subj", "pred", "obj", "doc_sha"]).collect()
+    }
+    want = oracle.edge_key_set(oracle.build_edges(corpus_rows, canonicalize=False, apply_macros=False))
+    p, r = oracle.precision_recall(got, want)
+    assert (p, r) == (1.0, 1.0), f"precision={p} recall={r}"
+
+
+def test_edges_canonical_vs_oracle(spark, clauses, corpus_rows):
+    e = extract_edges(clauses)
+    e = apply_xref_macros(e, clauses)
+    e = rewrite_edges(e, clauses)
+    comps = equivalence_components(e)
+    e = canonical_rewrite(e, comps).dropDuplicates(["subj", "pred", "obj", "doc_sha"])
+    got = {(r["subj"], r["pred"], r["obj"], r["doc_sha"]) for r in e.collect()}
+    want = oracle.edge_key_set(oracle.build_edges(corpus_rows, canonicalize=True))
+    p, r = oracle.precision_recall(got, want)
+    assert (p, r) == (1.0, 1.0), f"precision={p} recall={r}"
+
+
+def test_connected_components_basic(spark):
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p")], "src string, dst string"
+    )
+    comps = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comps["a"] == comps["b"] == comps["c"] == "a"
+    assert comps["x"] == comps["y"] == "x"
+    assert comps["p"] == "p"
+
+
+def test_connected_components_chain(spark):
+    # a long path graph stresses the iteration count
+    n = 33
+    pairs = spark.createDataFrame(
+        [(f"v{i:02d}", f"v{i+1:02d}") for i in range(n - 1)], "src string, dst string"
+    )
+    comps = connected_components(pairs, max_iter=40).collect()
+    assert {r["component"] for r in comps} == {"v00"}
+    assert len(comps) == n
+
+
+def test_nodes(spark, clauses, corpus_rows):
+    nodes = build_nodes(clauses)
+    row = nodes.where(F.col("id") == "MS0:0000003").collect()[0]
+    assert row["obsolete"] is True
+    assert row["replaced_by"] == ["MS0:0000001"]
+    # every parsed frame becomes exactly one node
+    n_frames = frame_counts(clauses).agg(F.sum("n_frames")).collect()[0][0]
+    assert nodes.count() == n_frames
+
+
+def test_top_k_per_idspace(spark, clauses):
+    nodes = build_nodes(clauses)
+    top = top_k_per_idspace(nodes, k=2)
+    counts = top.groupBy("idspace").count().collect()
+    assert all(r["count"] <= 2 for r in counts)
+
+
+def test_pipeline_resume(spark, corpus):
+    from fastobo_py_spark.plans.pipeline import pending_corpus, run_pipeline
+
+    out = tempfile.mkdtemp(prefix="kg_test_")
+    try:
+        m1 = run_pipeline(spark, corpus, out, canonicalize=False)
+        assert m1["docs_in_batch"] == 202
+        assert m1["quarantined_docs"] == 2
+        assert pending_corpus(spark, corpus, out).count() == 0
+        m2 = run_pipeline(spark, corpus, out, canonicalize=False)
+        assert m2["docs_in_batch"] == 0
+        # partitioned layout on disk
+        edges = spark.read.parquet(out + "/edges")
+        assert {"idspace", "salt"} <= set(edges.columns)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
