@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator family from SURVEY.md §2:
+relational joins/aggs/windows (O13/O15/O17), events sessionization, text
+analysis + dedup + similarity (training-data ops), and the OBO→KG pipeline
+(parse O1-O3, triples O5, linking O7, canonicalization O8-O11, CC O10).
+``oracle_sql()`` gives a DuckDB-checkable mirror for each: plain ANSI SQL
+for the star-schema/text queries, VALUES literals computed by the
+independent pure-Python oracle (fastobo_py_spark/oracle.py) for the KG
+queries over the deterministic synthetic corpus.
 """
 
 from __future__ import annotations
@@ -15,24 +18,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship smoke: TPC-H-Q5-shaped 6-way star join at sf0.001."""
+    from fastobo_py_spark.queries import q_region_revenue
+
+    return q_region_revenue(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from fastobo_py_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from fastobo_py_spark.queries import oracle_sqls
+
+    return oracle_sqls()

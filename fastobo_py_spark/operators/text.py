@@ -1,0 +1,120 @@
+r"""Text-analysis operators for a large-scale training-data pipeline:
+token counting, quality scoring, language ID, document fingerprinting.
+
+All pure column expressions (whole-stage codegen, no Python in the hot
+path) and each one deliberately mirrors an ANSI-SQL formulation so the
+DuckDB oracle can verify values exactly. Operates on the ``documents``
+table ``(doc_id, text, lang, source, n_chars)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+# (A real pipeline ships fastText or CLD3 at the executors; the heuristic
+# keeps the operator dependency-free and oracle-checkable.)
+EN_STOP = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+DE_STOP = ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"]
+FR_STOP = ["le", "la", "les", "et", "est", "un", "une", "dans"]
+ES_STOP = ["el", "la", "los", "y", "es", "un", "una", "que"]
+
+PUNCT_CLASS = r"[.,;:!?]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens; empty text → empty array."""
+    return F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(col), r"\s+")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def _stop_hits(col: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(F.lower(col)), lambda x: F.array_contains(arr, x)))
+
+
+def punct_count(col: Column) -> Column:
+    return F.length(col) - F.length(F.regexp_replace(col, PUNCT_CLASS, ""))
+
+
+def alpha_ratio(col: Column) -> Column:
+    return F.length(F.regexp_replace(col, "[^A-Za-z]", "")) / F.greatest(F.length(col), F.lit(1))
+
+
+def alpha_ppm(col: Column) -> Column:
+    """alpha_ratio in parts-per-million as BIGINT.
+
+    floor(x * 1e6) of the identically-computed double is deterministic
+    across engines, unlike decimal round() whose half-way tie-breaking
+    differs between Spark (HALF_UP) and DuckDB.
+    """
+    return F.floor(alpha_ratio(col) * 1_000_000).cast("long")
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic quality in [0,1]: length band + stopword presence +
+    alphabetic density (the classic C4/Gopher-style cheap filters)."""
+    ntok = token_count(col)
+    len_score = F.least(ntok / F.lit(64.0), F.lit(1.0))
+    stop_score = F.least(_stop_hits(col, EN_STOP) / F.lit(4.0), F.lit(1.0))
+    return F.lit(0.4) * len_score + F.lit(0.3) * stop_score + F.lit(0.3) * alpha_ratio(col)
+
+
+def quality_ppm(col: Column) -> Column:
+    return F.floor(quality_score(col) * 1_000_000).cast("long")
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-profile language guess with deterministic tie-break.
+
+    Non-ASCII-heavy text → 'zh'; otherwise argmax of per-language stopword
+    hits in fixed priority order (en, de, fr, es), 'und' when all zero.
+    """
+    non_ascii = F.length(F.regexp_replace(col, "[\\x00-\\x7F]", ""))
+    en, de, fr, es = (
+        _stop_hits(col, EN_STOP),
+        _stop_hits(col, DE_STOP),
+        _stop_hits(col, FR_STOP),
+        _stop_hits(col, ES_STOP),
+    )
+    best = F.greatest(en, de, fr, es)
+    return (
+        F.when(non_ascii > F.length(col) * 0.3, F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(de == best, F.lit("de"))
+        .when(fr == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
+def normalize_text(col: Column) -> Column:
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized
+    lowercase text (md5 is identical in Spark and DuckDB, so the oracle
+    verifies values bit-for-bit)."""
+    return F.md5(normalize_text(col))
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-document stats table — the training-data profiling pass."""
+    t = F.col("text")
+    return documents.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars_actual"),
+        punct_count(t).alias("n_punct"),
+        alpha_ppm(t).alias("alpha_ppm"),
+        quality_ppm(t).alias("quality_ppm"),
+        lang_id(t).alias("lang_guess"),
+        fingerprint(t).alias("fp"),
+    )

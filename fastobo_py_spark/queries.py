@@ -1,0 +1,753 @@
+r"""Query registry: every implemented operator exposed as a
+(spark_fn, oracle_sql) pair for the driver contract (__spark_entry__.py).
+
+Each Spark query is written with the DataFrame API (the operator under
+test); each oracle is the same computation in ANSI SQL for DuckDB over
+the same parquet views. Column names and value rounding match exactly —
+the driver hashes values after sorting columns by name.
+
+OBO queries run over the deterministic synthetic corpus
+(sources/corpus.py); their oracles are VALUES literals derived from the
+independent pure-Python oracle (oracle.py) — golden snapshots computed by
+a second implementation, not by Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fastobo_py_spark.operators import dedup as D
+from fastobo_py_spark.operators import similarity as S
+from fastobo_py_spark.operators import text as X
+from fastobo_py_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Relational / TPC-H-ish (exercise joins, aggs, windows on the star schema)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy with partial aggregation."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)        AS sum_qty,
+       round(sum(l_extendedprice), 2)   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4)        AS avg_qty,
+       round(avg(l_discount), 4)        AS avg_disc,
+       count(*)                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + top-k."""
+    cust = load_table(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_REVENUE = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join; dims broadcast."""
+    region = F.broadcast(load_table(spark, sf, "region"))
+    nation = F.broadcast(load_table(spark, sf, "nation"))
+    supplier = F.broadcast(load_table(spark, sf, "supplier"))
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(supplier, (li["l_suppkey"] == supplier["s_suppkey"]) & (customer["c_nationkey"] == supplier["s_nationkey"]))
+        .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q_orders_topk_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Window top-k: 3 priciest orders per priority (O17 pattern)."""
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy("o_orderpriority", "rank")
+    )
+
+
+SQL_ORDERS_TOPK = """
+SELECT o_orderpriority, rank, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 3
+ORDER BY o_orderpriority, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events: time windowing + sessionization
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30 min) — lag + cumulative sum windows."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = F.when(us - F.lag(us, 1).over(w) > 1800 * 1_000_000, 1).otherwise(0)
+    sess = ev.withColumn("new_sess", F.coalesce(gap, F.lit(0))).withColumn(
+        "session_ix", F.sum("new_sess").over(w)
+    )
+    return (
+        sess.groupBy("user_id", "session_ix")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max(us) - F.min(us)).alias("duration_us"),
+        )
+        .orderBy("user_id", "session_ix")
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_ix
+  FROM flagged
+)
+SELECT user_id, session_ix, count(*) AS n_events,
+       CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us
+FROM numbered
+GROUP BY user_id, session_ix
+ORDER BY user_id, session_ix
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+_EN = "'the','a','of','and','to','in','is','it','for','on'"
+_DE = "'der','die','das','und','ist','nicht','ein','mit'"
+_FR = "'le','la','les','et','est','un','une','dans'"
+_ES = "'el','la','los','y','es','un','una','que'"
+
+
+def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return X.text_stats(docs).orderBy("doc_id")
+
+
+SQL_TEXT_STATS = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ltoks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       length(text) AS n_chars_actual,
+       length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+       CAST(floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1) * 1000000) AS BIGINT) AS alpha_ppm,
+       CAST(floor((0.4 * least(len(toks) / 64.0, 1.0)
+           + 0.3 * least(len(list_filter(ltoks, x -> x IN ({_EN}))) / 4.0, 1.0)
+           + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                         / greatest(length(text), 1))) * 1000000) AS BIGINT) AS quality_ppm,
+       CASE
+         WHEN length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) > length(text) * 0.3 THEN 'zh'
+         WHEN greatest(len(list_filter(ltoks, x -> x IN ({_EN}))),
+                       len(list_filter(ltoks, x -> x IN ({_DE}))),
+                       len(list_filter(ltoks, x -> x IN ({_FR}))),
+                       len(list_filter(ltoks, x -> x IN ({_ES})))) = 0 THEN 'und'
+         WHEN len(list_filter(ltoks, x -> x IN ({_EN}))) =
+              greatest(len(list_filter(ltoks, x -> x IN ({_EN}))), len(list_filter(ltoks, x -> x IN ({_DE}))),
+                       len(list_filter(ltoks, x -> x IN ({_FR}))), len(list_filter(ltoks, x -> x IN ({_ES})))) THEN 'en'
+         WHEN len(list_filter(ltoks, x -> x IN ({_DE}))) =
+              greatest(len(list_filter(ltoks, x -> x IN ({_EN}))), len(list_filter(ltoks, x -> x IN ({_DE}))),
+                       len(list_filter(ltoks, x -> x IN ({_FR}))), len(list_filter(ltoks, x -> x IN ({_ES})))) THEN 'de'
+         WHEN len(list_filter(ltoks, x -> x IN ({_FR}))) =
+              greatest(len(list_filter(ltoks, x -> x IN ({_EN}))), len(list_filter(ltoks, x -> x IN ({_DE}))),
+                       len(list_filter(ltoks, x -> x IN ({_FR}))), len(list_filter(ltoks, x -> x IN ({_ES})))) THEN 'fr'
+         ELSE 'es'
+       END AS lang_guess,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+FROM base
+ORDER BY doc_id
+"""
+
+
+def q_quality_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Aggregated quality profile per source — the corpus-curation view."""
+    docs = load_table(spark, sf, "documents")
+    stats = X.text_stats(docs)
+    joined = stats.join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.floor(F.avg("quality_ppm")).cast("long").alias("avg_quality_ppm"),
+            F.floor(F.avg("n_tokens") * 10000).cast("long").alias("avg_tokens_e4"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_QUALITY_BY_LANG = f"""
+WITH base AS (
+  SELECT doc_id, source, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ltoks
+  FROM documents
+), scored AS (
+  SELECT doc_id, source, len(toks) AS n_tokens,
+         CAST(floor((0.4 * least(len(toks) / 64.0, 1.0)
+             + 0.3 * least(len(list_filter(ltoks, x -> x IN ({_EN}))) / 4.0, 1.0)
+             + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                           / greatest(length(text), 1))) * 1000000) AS BIGINT) AS quality_ppm
+  FROM base
+)
+SELECT source, count(*) AS n_docs,
+       CAST(floor(avg(quality_ppm)) AS BIGINT) AS avg_quality_ppm,
+       CAST(floor(avg(n_tokens) * 10000) AS BIGINT) AS avg_tokens_e4
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return D.exact_duplicates(docs).orderBy("fp")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents
+GROUP BY 1
+ORDER BY 1
+"""
+
+_SH = """
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              ELSE [array_to_string(toks, ' ')] END AS shs
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents)
+"""
+
+_SIG = (
+    "SELECT doc_id, "
+    + ", ".join(f"min(md5('{i}|' || sh)) AS h{i}" for i in range(16))
+    + f" FROM (SELECT doc_id, unnest(shs) AS sh FROM ({_SH})) GROUP BY doc_id"
+)
+
+_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_ix, md5(h{4*b} || '|' || h{4*b+1} || '|' || h{4*b+2} || '|' || h{4*b+3}) AS band_hash FROM sigs"
+    for b in range(4)
+)
+
+_EST = " + ".join(f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(16))
+
+
+def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return D.minhash_candidate_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH sigs AS ({_SIG}),
+bands AS ({_BANDS}),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r ON l.band_ix = r.band_ix AND l.band_hash = r.band_hash
+  WHERE l.doc_id < r.doc_id
+)
+SELECT p.doc_a, p.doc_b, round(({_EST}) / 16.0, 6) AS est_jaccard
+FROM pairs p JOIN sigs a ON p.doc_a = a.doc_id JOIN sigs b ON p.doc_b = b.doc_id
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return D.ngram_jaccard_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH sigs AS ({_SIG}),
+bands AS ({_BANDS}),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r ON l.band_ix = r.band_ix AND l.band_hash = r.band_hash
+  WHERE l.doc_id < r.doc_id
+),
+sh AS (SELECT doc_id, unnest(shs) AS sh FROM ({_SH})),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_int
+  FROM pairs p JOIN sh a ON p.doc_a = a.doc_id JOIN sh b ON p.doc_b = b.doc_id AND a.sh = b.sh
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(n_int / (sa.n_sh + sb.n_sh - n_int), 6) AS jaccard
+FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id JOIN sizes sb ON i.doc_b = sb.doc_id
+ORDER BY i.doc_a, i.doc_b
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return D.simhash(docs).orderBy("doc_id")
+
+
+SQL_DEDUP_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT)::BIGINT AS h FROM toks
+), bits AS (
+  SELECT doc_id, b.bit, CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS w
+  FROM hashed, (SELECT unnest(range(0, 60)) AS bit) b
+), per_bit AS (
+  SELECT doc_id, bit, sum(w) AS s FROM bits GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM per_bit GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return D.embedding_near_dup_pairs(emb, threshold=0.9).orderBy("vec_a", "vec_b")
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9
+ORDER BY vec_a, vec_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return S.self_topk(emb, n_queries=20, k=5).orderBy("query_id", "rank")
+
+
+SQL_ANN_BRUTEFORCE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+), q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e WHERE vec_id < 20),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.v, q.qv) / (e.nrm * q.qnrm) AS cos
+  FROM e, q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# OBO knowledge-graph queries (the flagship pipeline).
+#
+# These run over the deterministic synthetic corpus (sources/corpus.py) —
+# the sf_dir argument is ignored because the corpus is seed-derived, not
+# part of the driver's star schema. Their oracles are VALUES literals
+# computed at call time by the independent pure-Python implementation
+# (oracle.py: plain dicts + union-find), i.e. a genuine second opinion on
+# the distributed joins / CC fixpoint, not a Spark re-run.
+# ---------------------------------------------------------------------------
+
+_CORPUS_KW = dict(n_obo=40, n_noise=160, n_broken=2, seed=42)
+
+
+def _corpus_df(spark: SparkSession) -> DataFrame:
+    from fastobo_py_spark.sources.corpus import corpus_df
+
+    return corpus_df(spark, partitions=8, **_CORPUS_KW)
+
+
+def _clauses(spark: SparkSession) -> DataFrame:
+    from fastobo_py_spark.operators.parse import parse_corpus, split_parsed
+
+    cl, _ = split_parsed(parse_corpus(_corpus_df(spark)))
+    return cl
+
+
+def _sql_quote(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _values_sql(rows, cols) -> str:
+    if not rows:
+        sel = ", ".join(f"NULL AS {c}" for c in cols)
+        return f"SELECT {sel} WHERE 1=0"
+    body = ",\n".join("(" + ", ".join(_sql_quote(v) for v in r) + ")" for r in rows)
+    return f"SELECT * FROM (VALUES\n{body}\n) AS t({', '.join(cols)})"
+
+
+def q_obo_edges_by_pred(spark: SparkSession, sf: str) -> DataFrame:
+    """Raw triple extraction profile: edges per predicate."""
+    from fastobo_py_spark.operators.triples import extract_edges
+
+    return (
+        extract_edges(_clauses(spark))
+        .dropDuplicates(["subj", "pred", "obj", "doc_sha"])
+        .groupBy("pred")
+        .agg(F.count("*").alias("n_edges"))
+        .orderBy("pred")
+    )
+
+
+def sql_obo_edges_by_pred() -> str:
+    from collections import Counter
+
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    edges = oracle.build_edges(generate_corpus(**_CORPUS_KW), canonicalize=False, apply_macros=False)
+    counts = Counter(p for _, p, _, _, _ in edges)
+    rows = sorted(counts.items())
+    return _values_sql([(p, n) for p, n in rows], ["pred", "n_edges"])
+
+
+def q_obo_canonical_edges_pato(spark: SparkSession, sf: str) -> DataFrame:
+    """Fully canonicalized triples for the pato-like docs (exercises the
+    equivalence-CC fixpoint + URL compaction targets)."""
+    from fastobo_py_spark.operators.canonicalize import apply_xref_macros, rewrite_edges
+    from fastobo_py_spark.operators.components import canonical_rewrite, equivalence_components
+
+    cl = _clauses(spark).where(F.col("path").startswith("ontologies/pato"))
+    from fastobo_py_spark.operators.triples import extract_edges
+
+    e = extract_edges(cl)
+    e = apply_xref_macros(e, cl)
+    e = rewrite_edges(e, cl)
+    comps = equivalence_components(e)
+    e = canonical_rewrite(e, comps)
+    return (
+        e.dropDuplicates(["subj", "pred", "obj", "doc_sha"])
+        .select("subj", "pred", "obj")
+        .dropDuplicates()
+        .orderBy("subj", "pred", "obj")
+    )
+
+
+def sql_obo_canonical_edges_pato() -> str:
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    rows = [r for r in generate_corpus(**_CORPUS_KW) if r["path"].startswith("ontologies/pato")]
+    edges = oracle.build_edges(rows, canonicalize=True)
+    triples = sorted({(s, p, o) for s, p, o, _, _ in edges})
+    return _values_sql(triples, ["subj", "pred", "obj"])
+
+
+def q_obo_frame_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-family frame/clause counts (O13 metrics)."""
+    cl = _clauses(spark)
+    fam = F.regexp_extract(F.col("path"), r"ontologies/([a-z]+)_", 1)
+    return (
+        cl.withColumn("family", fam)
+        .groupBy("family")
+        .agg(
+            F.countDistinct("doc_sha").alias("n_docs"),
+            F.sum(F.when((F.col("tag") == "id") & (F.col("frame_type") != "Header"), 1).otherwise(0)).alias(
+                "n_frames"
+            ),
+            F.count("*").alias("n_clauses"),
+        )
+        .orderBy("family")
+    )
+
+
+def sql_obo_frame_stats() -> str:
+    import re as _re
+    from collections import defaultdict
+
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    rows = generate_corpus(**_CORPUS_KW)
+    agg = defaultdict(lambda: [set(), 0, 0])
+    clauses, _ = oracle.parse_rows(rows)
+    import hashlib
+
+    sha_to_fam = {
+        hashlib.sha256(r["content"].encode()).hexdigest(): (_re.search(r"ontologies/([a-z]+)_", r["path"]).group(1) if _re.search(r"ontologies/([a-z]+)_", r["path"]) else "")
+        for r in rows
+        if oracle.is_obo_row(r)
+    }
+    for c in clauses:
+        fam = sha_to_fam.get(c[0], "")
+        a = agg[fam]
+        a[0].add(c[0])
+        if c[3 + 4] == "id" and c[3] != "Header":
+            a[1] += 1
+        a[2] += 1
+    out = [(fam, len(a[0]), a[1], a[2]) for fam, a in sorted(agg.items())]
+    return _values_sql(out, ["family", "n_docs", "n_frames", "n_clauses"])
+
+
+def q_obo_obsolete_nodes(spark: SparkSession, sf: str) -> DataFrame:
+    """Obsolete-term audit (the reference's obsolete.ipynb validation):
+    obsolete nodes with their replacement status."""
+    from fastobo_py_spark.operators.materialize import build_nodes
+
+    nodes = build_nodes(_clauses(spark))
+    return (
+        nodes.where(F.col("obsolete"))
+        .select(
+            "id",
+            F.size("replaced_by").alias("n_replaced"),
+            F.size("alt_ids").alias("n_alt"),
+        )
+        .orderBy("id")
+    )
+
+
+def sql_obo_obsolete_nodes() -> str:
+    from collections import defaultdict
+
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    clauses, _ = oracle.parse_rows(generate_corpus(**_CORPUS_KW))
+    obs = set()
+    repl = defaultdict(set)
+    alt = defaultdict(set)
+    for c in clauses:
+        sha, ftype, fid, tag, v1 = c[0], c[3], c[3 + 1], c[3 + 4], c[3 + 5]
+        if ftype == "Header" or not fid:
+            continue
+        key = (sha, fid)
+        if tag == "is_obsolete" and v1 == "true":
+            obs.add(key)
+        elif tag == "replaced_by" and v1:
+            repl[key].add(v1)
+        elif tag == "alt_id" and v1:
+            alt[key].add(v1)
+    rows = sorted((fid, len(repl[k]), len(alt[k])) for k in obs for fid in [k[1]])
+    return _values_sql(rows, ["id", "n_replaced", "n_alt"])
+
+
+def q_obo_mention_dict(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity-linking dictionary profile: surface forms per kind/scope."""
+    from fastobo_py_spark.operators.linking import mention_dictionary
+
+    d = mention_dictionary(_clauses(spark))
+    return (
+        d.groupBy("kind", "scope")
+        .agg(F.count("*").alias("n_forms"), F.countDistinct("mention").alias("n_distinct"))
+        .orderBy("kind", "scope")
+    )
+
+
+def sql_obo_mention_dict() -> str:
+    import re as _re
+    from collections import defaultdict
+
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    def norm(s):
+        s = _re.sub(r"\s+", " ", s.strip().lower())
+        return _re.sub(r"^[\"'\(\[]+|[\"'\)\]\.,;:]+$", "", s)
+
+    clauses, _ = oracle.parse_rows(generate_corpus(**_CORPUS_KW))
+    seen = set()
+    for c in clauses:
+        sha, ftype, fid, tag = c[0], c[3], c[3 + 1], c[3 + 4]
+        if ftype == "Header" or not fid:
+            continue
+        if tag == "name" and c[3 + 7]:
+            m = norm(c[3 + 7])
+            if m:
+                seen.add((sha, m, fid, "name", None))
+        elif tag == "synonym" and c[3 + 7]:
+            m = norm(c[3 + 7])
+            if m:
+                seen.add((sha, m, fid, "synonym", c[3 + 11]))
+    agg = defaultdict(lambda: [0, set()])
+    for sha, m, fid, kind, scope in seen:
+        a = agg[(kind, scope)]
+        a[0] += 1
+        a[1].add(m)
+    rows = sorted((k, s, n, len(d)) for (k, s), (n, d) in agg.items())
+    return _values_sql(rows, ["kind", "scope", "n_forms", "n_distinct"])
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "region_revenue": q_region_revenue,
+    "orders_topk_window": q_orders_topk_window,
+    "events_hourly": q_events_hourly,
+    "events_sessionize": q_events_sessionize,
+    "text_stats": q_text_stats,
+    "quality_by_source": q_quality_by_lang,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_ngram_jaccard": q_dedup_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_bruteforce_topk": q_ann_bruteforce,
+    "obo_edges_by_pred": q_obo_edges_by_pred,
+    "obo_canonical_edges_pato": q_obo_canonical_edges_pato,
+    "obo_frame_stats": q_obo_frame_stats,
+    "obo_obsolete_nodes": q_obo_obsolete_nodes,
+    "obo_mention_dict": q_obo_mention_dict,
+}
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {
+        "pricing_summary": SQL_PRICING,
+        "top_revenue_orders": SQL_TOP_REVENUE,
+        "region_revenue": SQL_REGION_REVENUE,
+        "orders_topk_window": SQL_ORDERS_TOPK,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "text_stats": SQL_TEXT_STATS,
+        "quality_by_source": SQL_QUALITY_BY_LANG,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+        "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
+        "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "dedup_embedding": SQL_DEDUP_EMBEDDING,
+        "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE,
+        "obo_edges_by_pred": sql_obo_edges_by_pred(),
+        "obo_canonical_edges_pato": sql_obo_canonical_edges_pato(),
+        "obo_frame_stats": sql_obo_frame_stats(),
+        "obo_obsolete_nodes": sql_obo_obsolete_nodes(),
+        "obo_mention_dict": sql_obo_mention_dict(),
+    }
