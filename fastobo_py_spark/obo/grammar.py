@@ -79,21 +79,52 @@ def unescape(s: str) -> str:
     return "".join(out)
 
 
-def escape_ident(s: str) -> str:
-    """Escape an identifier for serialization (inverse of token scan).
+import re as _re
 
-    Only the characters that would break token boundaries are escaped;
-    URL idents keep their ``:`` per the reference's Display behaviour
-    (prefixed idents escape the local part, ``id.rs:366-370``).
-    """
+_URL_IDENT_RE = _re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+
+def _escape_all(s: str) -> str:
     if not any(ch in _ESCAPE_IDENT for ch in s):
         return s
     return "".join(_ESCAPE_IDENT.get(ch, ch) for ch in s)
 
 
+def escape_ident(s: str) -> str:
+    """Escape an identifier for serialization (inverse of token scan).
+
+    URL idents print raw; prefixed idents keep the prefix separator colon
+    unescaped but escape colons inside the local part — the reference's
+    ``value-type:xsd\\:string`` form (``id.rs:366-370``); unprefixed
+    idents escape fully.
+    """
+    if _URL_IDENT_RE.match(s):
+        return s
+    if ":" in s:
+        prefix, local = s.split(":", 1)
+        return f"{_escape_all(prefix)}:{_escape_all(local)}"
+    return _escape_all(s)
+
+
 def escape_quoted(s: str) -> str:
     """Escape text destined for a double-quoted string."""
     return s.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
+def escape_unquoted(s: str) -> str:
+    """Escape raw-text clause values (name/remark/owl-axioms/...).
+
+    Only what would change parse semantics: backslash itself, real
+    newlines/tabs (owl-axioms carries literal \\n sequences in the wild —
+    ms.obo header), comment starts and qualifier-block opens.
+    """
+    return (
+        s.replace("\\", "\\\\")
+        .replace("\n", "\\n")
+        .replace("\t", "\\t")
+        .replace("!", "\\!")
+        .replace("{", "\\{")
+    )
 
 
 def split_line(value: str):

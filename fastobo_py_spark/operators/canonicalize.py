@@ -54,32 +54,85 @@ def replacement_map(clauses: DataFrame) -> DataFrame:
     return w
 
 
-def rewrite_edges(edges: DataFrame, clauses: DataFrame, max_hops: int = 3) -> DataFrame:
-    """Canonicalize edge endpoints: alias merge, then obsolete redirect
-    iterated ``max_hops`` times (replaced_by chains are short in practice;
-    a fixpoint loop over a broadcast map costs one map-side join per hop).
+def resolution_map(clauses: DataFrame, max_hops: int = 3, driver_threshold: int = 5_000_000) -> DataFrame:
+    """Compose alias + replacement chains into ONE lookup map
+    (doc_sha, old, new).
+
+    The chain resolution iterates on the MAP (alias declarations only,
+    orders of magnitude smaller than the edge table), never on edges.
+    Scale-adaptive like the CC operator: below ``driver_threshold``
+    entries the composition happens driver-side in one pass (one Arrow
+    collect + one createDataFrame instead of 5 shuffle/broadcast jobs);
+    above it, the map composes distributedly by self-joining ``max_hops``
+    times. Semantics (alias first, then ``max_hops`` replacement
+    applications) match the sequential reference reading and oracle.py.
     """
-    aliases = F.broadcast(alias_map(clauses))
-    repl = F.broadcast(replacement_map(clauses))
+    aliases = alias_map(clauses)
+    repl = replacement_map(clauses)
+    n = aliases.count() + repl.count()
+    if n <= driver_threshold:
+        import pandas as pd
 
-    def _rewrite(df: DataFrame, col: str, m: DataFrame, key: str, val: str) -> DataFrame:
-        mm = m.withColumnRenamed(key, f"__k_{col}").withColumnRenamed(val, f"__v_{col}").withColumnRenamed(
-            "doc_sha", "__d"
-        )
-        out = df.join(
-            F.broadcast(mm),
-            (F.col("doc_sha") == F.col("__d")) & (F.col(col) == F.col(f"__k_{col}")),
-            "left",
-        )
-        return out.withColumn(col, F.coalesce(F.col(f"__v_{col}"), F.col(col))).drop(
-            f"__k_{col}", f"__v_{col}", "__d"
+        a = aliases.toPandas().rename(columns={"alias": "old", "canonical": "new"})
+        r = repl.toPandas().rename(columns={"obsolete_id": "old", "replacement": "new"})
+        # repl keys enter at identity so every entry receives exactly
+        # max_hops applications; alias wins when both are declared.
+        ident = r[["doc_sha", "old"]].copy()
+        ident["new"] = ident["old"]
+        base = pd.concat([a, ident], ignore_index=True).drop_duplicates(["doc_sha", "old"], keep="first")
+        lut = r.rename(columns={"old": "__k", "new": "__v"})
+        for _ in range(max_hops):
+            base = base.merge(lut, how="left", left_on=["doc_sha", "new"], right_on=["doc_sha", "__k"])
+            base["new"] = base["__v"].fillna(base["new"])
+            base = base.drop(columns=["__k", "__v"])
+        base = base[base["old"] != base["new"]]
+        spark = clauses.sparkSession
+        if base.empty:
+            return spark.createDataFrame([], "doc_sha string, old string, new string")
+        return spark.createDataFrame(
+            base[["doc_sha", "old", "new"]], schema="doc_sha string, old string, new string"
         )
 
-    out = _rewrite(edges, "subj", aliases, "alias", "canonical")
-    out = _rewrite(out, "obj", aliases, "alias", "canonical")
+    m = aliases.select("doc_sha", F.col("alias").alias("old"), F.col("canonical").alias("new"), F.lit(0).alias("prio"))
+    repl_identity = repl.select(
+        "doc_sha", F.col("obsolete_id").alias("old"), F.col("obsolete_id").alias("new"), F.lit(1).alias("prio")
+    )
+    m = m.unionByName(repl_identity).groupBy("doc_sha", "old").agg(F.min_by("new", "prio").alias("new"))
+    r = (
+        repl.select("doc_sha", "obsolete_id", "replacement")
+        .withColumnRenamed("obsolete_id", "__o")
+        .withColumnRenamed("replacement", "__n")
+        .withColumnRenamed("doc_sha", "__d")
+    )
     for _ in range(max_hops):
-        out = _rewrite(out, "subj", repl, "obsolete_id", "replacement")
-        out = _rewrite(out, "obj", repl, "obsolete_id", "replacement")
+        m = (
+            m.join(r, (F.col("doc_sha") == F.col("__d")) & (F.col("new") == F.col("__o")), "left")
+            .withColumn("new", F.coalesce(F.col("__n"), F.col("new")))
+            .drop("__o", "__n", "__d")
+        )
+    return m.where(F.col("old") != F.col("new"))
+
+
+def rewrite_edges(edges: DataFrame, clauses: DataFrame, max_hops: int = 3) -> DataFrame:
+    """Canonicalize edge endpoints via the pre-composed resolution map —
+    one equi-join per endpoint.
+
+    The map is broadcast (it is bounded by *declared aliases*, a tiny
+    fraction of the corpus; measured: shuffling the 5M-row edge table
+    twice instead costs far more than a driver broadcast of the map).
+    """
+    m = F.broadcast(resolution_map(clauses, max_hops))
+
+    ms = m.withColumnRenamed("old", "__ks").withColumnRenamed("new", "__vs").withColumnRenamed("doc_sha", "__ds")
+    mo = m.withColumnRenamed("old", "__ko").withColumnRenamed("new", "__vo").withColumnRenamed("doc_sha", "__do")
+    out = (
+        edges.join(ms, (F.col("doc_sha") == F.col("__ds")) & (F.col("subj") == F.col("__ks")), "left")
+        .withColumn("subj", F.coalesce(F.col("__vs"), F.col("subj")))
+        .drop("__ks", "__vs", "__ds")
+        .join(mo, (F.col("doc_sha") == F.col("__do")) & (F.col("obj") == F.col("__ko")), "left")
+        .withColumn("obj", F.coalesce(F.col("__vo"), F.col("obj")))
+        .drop("__ko", "__vo", "__do")
+    )
     return out
 
 
@@ -146,47 +199,41 @@ def apply_xref_macros(edges: DataFrame, clauses: DataFrame) -> DataFrame:
         "inner",
     ).drop("__d")
 
-    eq = m.where(F.col("kind") == "treat-xrefs-as-equivalent").select(
-        "subj", F.lit("equivalent_to").alias("pred"), "obj", F.lit("xref-macro").alias("src_tag"), "doc_sha", "idspace"
+    # SINGLE pass: each matched (xref, macro) row emits its 1-2 synthesized
+    # edges through one explode — the 8-branch union formulation re-scanned
+    # the join once per branch (measured 6.7s -> this shape is one stage).
+    s, o, k, rel, filler = F.col("subj"), F.col("obj"), F.col("kind"), F.col("rel"), F.col("filler")
+    pair = lambda subj, pred, obj: F.struct(subj.alias("s"), pred.alias("p"), obj.alias("o"))
+    emitted = (
+        F.when(k == "treat-xrefs-as-equivalent", F.array(pair(s, F.lit("equivalent_to"), o)))
+        .when(k == "treat-xrefs-as-is_a", F.array(pair(s, F.lit("is_a"), o)))
+        .when(k == "treat-xrefs-as-has-subclass", F.array(pair(o, F.lit("is_a"), s)))
+        .when(k == "treat-xrefs-as-relationship", F.array(pair(s, rel, o)))
+        .when(
+            k == "treat-xrefs-as-genus-differentia",
+            F.array(
+                pair(s, F.lit("intersection_of:genus"), o),
+                pair(s, F.concat(F.lit("intersection_of:"), rel), filler),
+            ),
+        )
+        .when(
+            k == "treat-xrefs-as-reverse-genus-differentia",
+            F.array(
+                pair(o, F.lit("intersection_of:genus"), s),
+                pair(o, F.concat(F.lit("intersection_of:"), rel), filler),
+            ),
+        )
+        .otherwise(F.array())
     )
-    isa = m.where(F.col("kind") == "treat-xrefs-as-is_a").select(
-        "subj", F.lit("is_a").alias("pred"), "obj", F.lit("xref-macro").alias("src_tag"), "doc_sha", "idspace"
+    synthesized = (
+        m.select("doc_sha", "idspace", F.explode(emitted).alias("e"))
+        .select(
+            F.col("e.s").alias("subj"),
+            F.col("e.p").alias("pred"),
+            F.col("e.o").alias("obj"),
+            F.lit("xref-macro").alias("src_tag"),
+            "doc_sha",
+            "idspace",
+        )
     )
-    hassub = m.where(F.col("kind") == "treat-xrefs-as-has-subclass").select(
-        F.col("obj").alias("subj"),
-        F.lit("is_a").alias("pred"),
-        F.col("subj").alias("obj"),
-        F.lit("xref-macro").alias("src_tag"),
-        "doc_sha",
-        "idspace",
-    )
-    relm = m.where(F.col("kind") == "treat-xrefs-as-relationship").select(
-        "subj", F.col("rel").alias("pred"), "obj", F.lit("xref-macro").alias("src_tag"), "doc_sha", "idspace"
-    )
-    gd = m.where(F.col("kind") == "treat-xrefs-as-genus-differentia")
-    gd_genus = gd.select(
-        "subj", F.lit("intersection_of:genus").alias("pred"), "obj",
-        F.lit("xref-macro").alias("src_tag"), "doc_sha", "idspace",
-    )
-    gd_diff = gd.select(
-        "subj", F.concat(F.lit("intersection_of:"), F.col("rel")).alias("pred"), F.col("filler").alias("obj"),
-        F.lit("xref-macro").alias("src_tag"), "doc_sha", "idspace",
-    )
-    rgd = m.where(F.col("kind") == "treat-xrefs-as-reverse-genus-differentia")
-    rgd_genus = rgd.select(
-        F.col("obj").alias("subj"), F.lit("intersection_of:genus").alias("pred"), F.col("subj").alias("obj"),
-        F.lit("xref-macro").alias("src_tag"), "doc_sha", "idspace",
-    )
-    rgd_diff = rgd.select(
-        F.col("obj").alias("subj"),
-        F.concat(F.lit("intersection_of:"), F.col("rel")).alias("pred"),
-        F.col("filler").alias("obj"),
-        F.lit("xref-macro").alias("src_tag"),
-        "doc_sha",
-        "idspace",
-    )
-
-    synthesized = eq.unionByName(isa).unionByName(hassub).unionByName(relm).unionByName(gd_genus).unionByName(
-        gd_diff
-    ).unionByName(rgd_genus).unionByName(rgd_diff)
     return edges.unionByName(synthesized)

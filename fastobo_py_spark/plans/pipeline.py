@@ -93,7 +93,7 @@ def run_pipeline(
     edges = extract_edges(clauses)
     edges = apply_xref_macros(edges, clauses)
     if canonicalize:
-        edges = rewrite_edges(edges, clauses)
+        edges = rewrite_edges(edges, clauses).persist()
         comps = equivalence_components(edges)
         edges = canonical_rewrite(edges, comps)
     edges = edges.dropDuplicates(["subj", "pred", "obj", "doc_sha"])

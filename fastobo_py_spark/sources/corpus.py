@@ -224,24 +224,25 @@ def make_noise(doc_ix: int, rng: random.Random) -> tuple[str, str, str]:
 _FAMILIES = ("ms", "plana", "go", "pato")
 
 
-def generate_corpus(n_obo: int = 40, n_noise: int = 160, n_broken: int = 2, seed: int = 42):
+def generate_corpus(n_obo: int = 40, n_noise: int = 160, n_broken: int = 2, seed: int = 42, doc_scale: int = 1):
     """Yield corpus rows as dicts. Fully deterministic in (args, seed).
 
     Default sizing matches FIXTURES.md §1 (~200 rows, ~40 OBO). Scale up
-    via ``n_obo``/``n_noise`` for benchmarks.
+    via ``n_obo``/``n_noise`` (more files) and ``doc_scale`` (bigger
+    files: multiplies per-document term counts) for benchmarks.
     """
     rng = random.Random(seed)
     rows = []
     for i in range(n_obo):
         fam = _FAMILIES[i % 4]
         if fam == "ms":
-            content = make_ms_like(i)
+            content = make_ms_like(i, n_terms=50 * doc_scale)
         elif fam == "plana":
-            content = make_plana_like(i)
+            content = make_plana_like(i, n_terms=30 * doc_scale)
         elif fam == "go":
-            content = make_go_like(i)
+            content = make_go_like(i, n_terms=40 * doc_scale)
         else:
-            content = make_pato_like(i)
+            content = make_pato_like(i, n_terms=20 * doc_scale)
         rows.append(
             {
                 "repo": f"org{i % 7}/repo{i % 23}",
@@ -275,7 +276,35 @@ def generate_corpus(n_obo: int = 40, n_noise: int = 160, n_broken: int = 2, seed
     return rows
 
 
-def corpus_df(spark, n_obo: int = 40, n_noise: int = 160, n_broken: int = 2, seed: int = 42, partitions: int | None = None):
+def corpus_to_parquet(
+    out_dir: str,
+    n_obo: int = 40,
+    n_noise: int = 160,
+    n_broken: int = 2,
+    seed: int = 42,
+    doc_scale: int = 1,
+    n_files: int = 64,
+) -> str:
+    """Materialize the synthetic corpus as a parquet directory WITHOUT
+    Spark (pyarrow direct write, one file per slice so a later scan
+    parallelizes like a real table). Returns out_dir."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows = generate_corpus(n_obo=n_obo, n_noise=n_noise, n_broken=n_broken, seed=seed, doc_scale=doc_scale)
+    cols = ("repo", "path", "commit", "lang", "content")
+    per = max(1, (len(rows) + n_files - 1) // n_files)
+    for i in range(0, len(rows), per):
+        chunk = rows[i : i + per]
+        table = pa.table({c: [r[c] for r in chunk] for c in cols})
+        pq.write_table(table, os.path.join(out_dir, f"part-{i//per:05d}.parquet"))
+    return out_dir
+
+
+def corpus_df(spark, n_obo: int = 40, n_noise: int = 160, n_broken: int = 2, seed: int = 42, partitions: int | None = None, doc_scale: int = 1):
     """Materialize the synthetic corpus as a DataFrame.
 
     At real scale this is ``spark.read.table(iceberg_corpus)``; the
@@ -283,7 +312,7 @@ def corpus_df(spark, n_obo: int = 40, n_noise: int = 160, n_broken: int = 2, see
     """
     from fastobo_py_spark.schema import CORPUS_SCHEMA
 
-    rows = generate_corpus(n_obo=n_obo, n_noise=n_noise, n_broken=n_broken, seed=seed)
+    rows = generate_corpus(n_obo=n_obo, n_noise=n_noise, n_broken=n_broken, seed=seed, doc_scale=doc_scale)
     df = spark.createDataFrame(rows, schema=CORPUS_SCHEMA)
     if partitions:
         df = df.repartition(partitions)

@@ -78,23 +78,31 @@ def test_edges_canonical_vs_oracle(spark, clauses, corpus_rows):
     assert (p, r) == (1.0, 1.0), f"precision={p} recall={r}"
 
 
-def test_connected_components_basic(spark):
+import pytest
+
+
+@pytest.mark.parametrize("threshold", [1_000_000, 0])  # driver path / distributed path
+def test_connected_components_basic(spark, threshold):
     pairs = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p")], "src string, dst string"
     )
-    comps = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    comps = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, driver_threshold=threshold).collect()
+    }
     assert comps["a"] == comps["b"] == comps["c"] == "a"
     assert comps["x"] == comps["y"] == "x"
     assert comps["p"] == "p"
 
 
-def test_connected_components_chain(spark):
+@pytest.mark.parametrize("threshold", [1_000_000, 0])
+def test_connected_components_chain(spark, threshold):
     # a long path graph stresses the iteration count
     n = 33
     pairs = spark.createDataFrame(
         [(f"v{i:02d}", f"v{i+1:02d}") for i in range(n - 1)], "src string, dst string"
     )
-    comps = connected_components(pairs, max_iter=40).collect()
+    comps = connected_components(pairs, max_iter=40, driver_threshold=threshold).collect()
     assert {r["component"] for r in comps} == {"v00"}
     assert len(comps) == n
 
@@ -132,3 +140,27 @@ def test_pipeline_resume(spark, corpus):
         assert {"idspace", "salt"} <= set(edges.columns)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_spark_serializer_roundtrip(spark, clauses, corpus_rows):
+    """Distributed serialize → reparse == original clause rows."""
+    import hashlib
+
+    from fastobo_py_spark.obo.parser import parse_document
+    from fastobo_py_spark.obo.serializer import serialize_documents
+
+    out = {r["doc_sha"]: r["obo_text"] for r in serialize_documents(clauses).collect()}
+    by_sha = {
+        hashlib.sha256(r["content"].encode()).hexdigest(): r["content"]
+        for r in corpus_rows
+        if r["lang"] == "OBO" and "broken" not in r["path"]
+    }
+    assert set(out) == set(by_sha)
+    checked = 0
+    for sha, text in out.items():
+        want = parse_document(by_sha[sha])
+        got = parse_document(text)
+        norm = lambda rows: [tuple(tuple(x) if isinstance(x, list) else x for x in r) for r in rows]
+        assert norm(got) == norm(want)
+        checked += 1
+    assert checked == 40
