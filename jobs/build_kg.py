@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the corpus→knowledge-graph job.
+
+Cluster deployment (north rule: ``spark-submit --py-files``)::
+
+    zip -r fastobo_py_spark.zip fastobo_py_spark
+    spark-submit --py-files fastobo_py_spark.zip jobs/build_kg.py \
+        --corpus <parquet-or-iceberg-path> --out <output-dir> [--no-resume]
+
+Sandbox smoke::
+
+    python jobs/build_kg.py --synthetic 200 --out /tmp/kg_out
+
+The job is resumable: every completed (repo, path, commit, sha256) row is
+recorded in ``<out>/_manifest``; a rerun anti-joins the corpus against it
+and only processes the remainder (plans/pipeline.py O19).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--corpus", help="parquet path (or Iceberg table path) of the repo corpus")
+    ap.add_argument("--synthetic", type=int, default=0, help="use N synthetic OBO docs instead of --corpus")
+    ap.add_argument("--out", required=True, help="output directory (nodes/edges/quarantine/_manifest)")
+    ap.add_argument("--no-resume", action="store_true", help="ignore the manifest and reprocess everything")
+    ap.add_argument("--no-canonicalize", action="store_true")
+    ap.add_argument("--salts", type=int, default=16, help="hub-salt fanout for edge writes")
+    ap.add_argument("--master", default=None, help="override master (defaults to local[$SPARK_GRAFT_CPUS])")
+    args = ap.parse_args(argv)
+
+    from fastobo_py_spark.plans.pipeline import run_pipeline
+    from fastobo_py_spark.session import get_spark
+
+    spark = get_spark(app_name="fastobo-build-kg", master=args.master)
+    try:
+        if args.synthetic:
+            from fastobo_py_spark.sources.corpus import corpus_df
+
+            corpus = corpus_df(spark, n_obo=args.synthetic, n_noise=args.synthetic // 2)
+        elif args.corpus:
+            corpus = spark.read.parquet(args.corpus)
+        else:
+            ap.error("one of --corpus or --synthetic is required")
+
+        metrics = run_pipeline(
+            spark,
+            corpus,
+            args.out,
+            resume=not args.no_resume,
+            n_salts=args.salts,
+            canonicalize=not args.no_canonicalize,
+        )
+        print(json.dumps(metrics))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
