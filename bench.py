@@ -57,15 +57,29 @@ def _obo_pipeline_files_per_sec(spark, n_obo: int, n_noise: int, cpus: int | Non
     corpus = corpus_df(spark, n_obo=n_obo, n_noise=n_noise, n_broken=2, partitions=cpus * 2, doc_scale=doc_scale)
     corpus = corpus.persist()
     corpus.count()  # materialize input outside the timed region
+    from fastobo_py_spark.operators.canonicalize import resolution_map
+    from fastobo_py_spark.operators.components import equivalence_components_from_clauses
+
     t0 = time.time()
     clauses, _ = split_parsed(parse_corpus(corpus))
-    clauses = clauses.select(
-        "doc_sha", "frame_type", "frame_id", "frame_ix", "clause_ix", "tag", "v1", "v2", "value_text"
-    ).persist()
+    from pyspark.sql import functions as _F
+    _EDGE_TAGS = [
+        "is_a", "relationship", "intersection_of", "union_of", "equivalent_to",
+        "disjoint_from", "xref", "alt_id", "replaced_by",
+    ]
+    # cache exactly what the edge job consumes: narrow columns, and only
+    # the edge/alias/macro tag rows (name/def rows feed the node path,
+    # not this chain) — the chain re-scans the cache, so bytes matter
+    clauses = (
+        clauses.where((_F.col("frame_type") == "Header") | _F.col("tag").isin(_EDGE_TAGS))
+        .select("doc_sha", "frame_type", "frame_id", "frame_ix", "clause_ix", "tag", "v1", "v2", "value_text")
+        .persist()
+    )
+    res = resolution_map(clauses)
+    comps = equivalence_components_from_clauses(clauses, resolution=res)
     e = extract_edges(clauses)
     e = apply_xref_macros(e, clauses)
-    e = rewrite_edges(e, clauses).persist()
-    comps = equivalence_components(e)
+    e = rewrite_edges(e, clauses, resolution=res)
     e = canonical_rewrite(e, comps).dropDuplicates(["subj", "pred", "obj", "doc_sha"])
     n_edges = e.count()
     dt = time.time() - t0
@@ -116,24 +130,40 @@ def _pipeline_from_parquet(spark, corpus_dir: str, n_files: int) -> tuple[float,
     from fastobo_py_spark.operators.parse import parse_corpus, split_parsed
     from fastobo_py_spark.operators.triples import extract_edges
 
+    from fastobo_py_spark.operators.canonicalize import resolution_map
+    from fastobo_py_spark.operators.components import equivalence_components_from_clauses
+
     corpus = spark.read.parquet(corpus_dir)
     t0 = _t.time()
     clauses, _ = split_parsed(parse_corpus(corpus))
     # persist only the columns the KG path reads: caching the nested
     # xref/qualifier arrays costs ~2x the narrow projection and no
     # downstream edge operator touches them
-    clauses = clauses.select(
-        "doc_sha", "frame_type", "frame_id", "frame_ix", "clause_ix", "tag", "v1", "v2", "value_text"
-    ).persist()
+    from pyspark.sql import functions as _F
+    _EDGE_TAGS = [
+        "is_a", "relationship", "intersection_of", "union_of", "equivalent_to",
+        "disjoint_from", "xref", "alt_id", "replaced_by",
+    ]
+    # cache exactly what the edge job consumes: narrow columns, and only
+    # the edge/alias/macro tag rows (name/def rows feed the node path,
+    # not this chain) — the chain re-scans the cache, so bytes matter
+    clauses = (
+        clauses.where((_F.col("frame_type") == "Header") | _F.col("tag").isin(_EDGE_TAGS))
+        .select("doc_sha", "frame_type", "frame_id", "frame_ix", "clause_ix", "tag", "v1", "v2", "value_text")
+        .persist()
+    )
+    # CC runs on the SMALL equivalence subset of clause rows; the full
+    # edge chain then evaluates exactly once, unpersisted — no 14M-row
+    # cache write, no double evaluation
+    res = resolution_map(clauses)
+    comps = equivalence_components_from_clauses(clauses, resolution=res)
     e = extract_edges(clauses)
     e = apply_xref_macros(e, clauses)
-    e = rewrite_edges(e, clauses).persist()
-    comps = equivalence_components(e)
+    e = rewrite_edges(e, clauses, resolution=res)
     ee = canonical_rewrite(e, comps).dropDuplicates(["subj", "pred", "obj", "doc_sha"])
     n_edges = ee.count()
     dt = _t.time() - t0
     clauses.unpersist()
-    e.unpersist()
     return n_files / dt, n_edges
 
 

@@ -240,6 +240,10 @@ def scan_quoted(s: str, start: int):
     Returns (unescaped_text, index_after_closing_quote).
     """
     i = start + 1
+    # fast path: closing quote with no backslash anywhere before it
+    q = s.find('"', i)
+    if q != -1 and s.find("\\", i, q) == -1:
+        return s[i:q], q + 1
     n = len(s)
     buf = []
     while i < n:
@@ -260,8 +264,16 @@ def scan_token(s: str, start: int, stops: str = " \t"):
 
     Returns (unescaped_token, index_after_token).
     """
-    i = start
     n = len(s)
+    # fast path: next stop char, no backslash inside the token
+    j = n
+    for st in stops:
+        k = s.find(st, start)
+        if k != -1 and k < j:
+            j = k
+    if s.find("\\", start, j) == -1:
+        return s[start:j], j
+    i = start
     buf = []
     esc = False
     while i < n:
@@ -335,13 +347,20 @@ def split_tag_value(line: str):
     Returns (tag, value) or None if the line has no unescaped colon.
     Tag is unescaped; value keeps raw escapes (parsed per-tag later).
     """
+    # fast path: no escaping anywhere near the first colon
+    c = line.find(":")
+    if c == -1:
+        if "\\" not in line:
+            return None
+    elif line.find("\\", 0, c) == -1:
+        return line[:c], line[c + 1 :].lstrip(" \t")
     i, n = 0, len(line)
     while i < n:
-        c = line[i]
-        if c == "\\":
+        ch = line[i]
+        if ch == "\\":
             i += 2
             continue
-        if c == ":":
+        if ch == ":":
             return unescape(line[:i]), line[i + 1 :].lstrip(" \t")
         i += 1
     return None

@@ -113,7 +113,9 @@ def resolution_map(clauses: DataFrame, max_hops: int = 3, driver_threshold: int 
     return m.where(F.col("old") != F.col("new"))
 
 
-def rewrite_edges(edges: DataFrame, clauses: DataFrame, max_hops: int = 3) -> DataFrame:
+def rewrite_edges(
+    edges: DataFrame, clauses: DataFrame, max_hops: int = 3, resolution: DataFrame | None = None
+) -> DataFrame:
     """Canonicalize edge endpoints via the pre-composed resolution map —
     one equi-join per endpoint.
 
@@ -121,7 +123,7 @@ def rewrite_edges(edges: DataFrame, clauses: DataFrame, max_hops: int = 3) -> Da
     fraction of the corpus; measured: shuffling the 5M-row edge table
     twice instead costs far more than a driver broadcast of the map).
     """
-    m = F.broadcast(resolution_map(clauses, max_hops))
+    m = F.broadcast(resolution_map(clauses, max_hops) if resolution is None else resolution)
 
     ms = m.withColumnRenamed("old", "__ks").withColumnRenamed("new", "__vs").withColumnRenamed("doc_sha", "__ds")
     mo = m.withColumnRenamed("old", "__ko").withColumnRenamed("new", "__vo").withColumnRenamed("doc_sha", "__do")

@@ -124,6 +124,51 @@ def equivalence_components(edges: DataFrame) -> DataFrame:
     return connected_components(pairs)
 
 
+def equivalence_components_from_clauses(clauses: DataFrame, resolution: DataFrame | None = None) -> DataFrame:
+    """Equivalence CC computed from the SMALL subset of clause rows —
+    avoids materializing (and double-evaluating) the full edge table just
+    to feed the fixpoint.
+
+    Pairs = explicit ``equivalent_to`` clauses ∪ xrefs matching a
+    ``treat-xrefs-as-equivalent`` macro, both endpoint-rewritten through
+    the alias/replaced_by resolution map so the labels agree with the
+    post-rewrite edge table they will be applied to.
+    """
+    from fastobo_py_spark.operators.canonicalize import macro_table, resolution_map
+    from fastobo_py_spark.operators.idents import ident_prefix
+
+    ent = clauses.where((F.col("frame_type") != "Header") & (F.col("frame_id") != ""))
+    explicit = ent.where((F.col("tag") == "equivalent_to") & F.col("v1").isNotNull()).select(
+        "doc_sha", F.col("frame_id").alias("src"), F.col("v1").alias("dst")
+    )
+    eq_macros = (
+        macro_table(clauses)
+        .where(F.col("kind") == "treat-xrefs-as-equivalent")
+        .select("doc_sha", "macro_idspace")
+        .withColumnRenamed("doc_sha", "__d")
+    )
+    xrefs = ent.where((F.col("tag") == "xref") & F.col("v1").isNotNull()).select(
+        "doc_sha", F.col("frame_id").alias("src"), F.col("v1").alias("dst")
+    )
+    via_macro = xrefs.join(
+        F.broadcast(eq_macros),
+        (xrefs["doc_sha"] == eq_macros["__d"]) & (ident_prefix(xrefs["dst"]) == eq_macros["macro_idspace"]),
+    ).select("doc_sha", "src", "dst")
+
+    pairs = explicit.unionByName(via_macro)
+    m = F.broadcast(resolution_map(clauses) if resolution is None else resolution)
+    for col in ("src", "dst"):
+        mm = m.withColumnRenamed("old", f"__k_{col}").withColumnRenamed("new", f"__v_{col}").withColumnRenamed(
+            "doc_sha", f"__d_{col}"
+        )
+        pairs = (
+            pairs.join(mm, (F.col("doc_sha") == F.col(f"__d_{col}")) & (F.col(col) == F.col(f"__k_{col}")), "left")
+            .withColumn(col, F.coalesce(F.col(f"__v_{col}"), F.col(col)))
+            .drop(f"__k_{col}", f"__v_{col}", f"__d_{col}")
+        )
+    return connected_components(pairs.select("src", "dst"))
+
+
 def canonical_rewrite(edges: DataFrame, components: DataFrame) -> DataFrame:
     """Rewrite edge endpoints to their component representative.
 

@@ -1,0 +1,52 @@
+"""O15: ontology version diffing — set operations over clause/edge tables.
+
+The reference's value-equality scans (``XrefList.__contains__``,
+``/root/reference/src/py/xref.rs:275-287``) generalize at corpus scale to
+diffing two parses of an evolving ontology corpus: which triples appeared,
+disappeared, which frames changed. Pure ``except``/``intersect``/join
+plans — no UDFs, fully shuffle-parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_EDGE_KEY = ["subj", "pred", "obj"]
+
+
+def edge_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(subj, pred, obj, change ∈ {'added','removed'}) between two edge sets."""
+    o = old.select(*_EDGE_KEY).dropDuplicates()
+    n = new.select(*_EDGE_KEY).dropDuplicates()
+    added = n.exceptAll(o).withColumn("change", F.lit("added"))
+    removed = o.exceptAll(n).withColumn("change", F.lit("removed"))
+    return added.unionByName(removed)
+
+
+def frame_change_summary(old_clauses: DataFrame, new_clauses: DataFrame) -> DataFrame:
+    """Per-frame change audit: added / removed / modified / unchanged.
+
+    A frame's content hash = order-insensitive xor of clause-row hashes —
+    one aggregation per side, one full-outer join on frame id.
+    """
+
+    def frame_hashes(clauses: DataFrame) -> DataFrame:
+        ent = clauses.where((F.col("frame_type") != "Header") & (F.col("frame_id") != ""))
+        return ent.groupBy(F.col("frame_id").alias("id")).agg(
+            F.expr("bit_xor(xxhash64(tag, coalesce(v1,''), coalesce(v2,''), coalesce(value_text,'')))").alias(
+                "content_hash"
+            )
+        )
+
+    o = frame_hashes(old_clauses).withColumnRenamed("content_hash", "old_hash")
+    n = frame_hashes(new_clauses).withColumnRenamed("content_hash", "new_hash")
+    joined = o.join(n, "id", "full_outer")
+    return joined.select(
+        "id",
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+    )

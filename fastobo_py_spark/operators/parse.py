@@ -101,3 +101,43 @@ def frame_counts(clauses: DataFrame) -> DataFrame:
         .groupBy("doc_sha")
         .agg(F.countDistinct("frame_ix").alias("n_frames"))
     )
+
+
+# single-cardinality tags per frame (reference cardinality validation:
+# MissingClauseError / DuplicateClausesError / SingleClauseError,
+# src/error.rs:106-119, src/py/exceptions.rs:40-141)
+SINGLE_CARDINALITY_TAGS = (
+    "id",
+    "name",
+    "def",
+    "comment",
+    "namespace",
+    "is_obsolete",
+    "is_anonymous",
+    "created_by",
+    "creation_date",
+    "is_transitive",
+    "is_reflexive",
+    "is_symmetric",
+    "is_cyclic",
+    "is_functional",
+    "domain",
+    "range",
+)
+
+
+def cardinality_violations(clauses: DataFrame) -> DataFrame:
+    """O13/§4: cardinality audit — rows where a single-cardinality tag
+    appears more than once in a frame.
+
+    Emitted as metrics, never failures (the reference raises; at corpus
+    scale violations are data-quality signals): one partial-aggregating
+    groupBy, columns (doc_sha, frame_id, tag, n).
+    """
+    return (
+        clauses.where((F.col("frame_type") != "Header") & (F.col("frame_id") != ""))
+        .where(F.col("tag").isin(list(SINGLE_CARDINALITY_TAGS)))
+        .groupBy("doc_sha", "frame_id", "tag")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+    )

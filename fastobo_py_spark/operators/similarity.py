@@ -95,7 +95,7 @@ def lsh_bucketed_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5, n_
     )
     cand = e.join(q, "bucket").where(F.col("vec_id") != F.col("query_id"))
     cos = _dot(F.col("v"), F.col("q")) / (_norm(F.col("v")) * _norm(F.col("q")))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         cand.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
         .withColumn("rank", F.row_number().over(w))

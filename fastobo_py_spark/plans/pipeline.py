@@ -93,8 +93,12 @@ def run_pipeline(
     edges = extract_edges(clauses)
     edges = apply_xref_macros(edges, clauses)
     if canonicalize:
-        edges = rewrite_edges(edges, clauses).persist()
-        comps = equivalence_components(edges)
+        from fastobo_py_spark.operators.canonicalize import resolution_map
+        from fastobo_py_spark.operators.components import equivalence_components_from_clauses
+
+        res = resolution_map(clauses)
+        comps = equivalence_components_from_clauses(clauses, resolution=res)
+        edges = rewrite_edges(edges, clauses, resolution=res)
         edges = canonical_rewrite(edges, comps)
     edges = edges.dropDuplicates(["subj", "pred", "obj", "doc_sha"])
     nodes = build_nodes(clauses)

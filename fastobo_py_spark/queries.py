@@ -751,3 +751,102 @@ def oracle_sqls() -> dict[str, str]:
         "obo_obsolete_nodes": sql_obo_obsolete_nodes(),
         "obo_mention_dict": sql_obo_mention_dict(),
     }
+
+
+def q_obo_url_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """O6: URL→prefixed compaction through per-doc idspace declarations
+    (doc.rs:219-234 semantics) over the pato-like docs."""
+    from fastobo_py_spark.operators.idents import compact_with_idspaces
+    from fastobo_py_spark.operators.triples import extract_edges
+
+    cl = _clauses(spark).where(F.col("path").startswith("ontologies/pato"))
+    urls = extract_edges(cl).where(F.col("obj").startswith("http://"))
+    compacted = compact_with_idspaces(urls, "obj", cl)
+    return (
+        compacted.select(F.col("subj"), F.col("obj").alias("compacted"))
+        .dropDuplicates()
+        .orderBy("subj", "compacted")
+    )
+
+
+def sql_obo_url_compaction() -> str:
+    import re as _re
+
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    rows = [r for r in generate_corpus(**_CORPUS_KW) if r["path"].startswith("ontologies/pato")]
+    out = set()
+    for r in rows:
+        clauses = oracle.parse_document(r["content"])
+        idspaces = {}
+        edges = []
+        for c in clauses:
+            tag, fid = c[4], c[1]
+            if c[0] == "Header" and tag == "idspace":
+                idspaces[c[5]] = c[6]
+            elif tag == "is_a" and c[5] and fid:
+                edges.append((fid, c[5]))
+        for subj, obj in edges:
+            if obj.startswith("http://"):
+                comp = obj
+                for pfx, base in idspaces.items():
+                    if obj.startswith(base):
+                        comp = f"{pfx}:{obj[len(base):]}"
+                        break
+                else:
+                    m = _re.match(r"^http://purl\.obolibrary\.org/obo/([A-Za-z0-9]+)_([A-Za-z0-9]+)$", obj)
+                    if m:
+                        comp = f"{m.group(1)}:{m.group(2)}"
+                out.add((subj, comp))
+    return _values_sql(sorted(out), ["subj", "compacted"])
+
+
+def q_obo_frame_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """O15: version-diff audit — corpus vs corpus-with-one-family-dropped,
+    summarized by change kind."""
+    from fastobo_py_spark.operators.diff import frame_change_summary
+
+    cl = _clauses(spark)
+    new = cl.where(~F.col("path").startswith("ontologies/pato"))
+    ch = frame_change_summary(cl, new)
+    return ch.groupBy("change").agg(F.count("*").alias("n_frames")).orderBy("change")
+
+
+def sql_obo_frame_diff() -> str:
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    rows = generate_corpus(**_CORPUS_KW)
+    clauses, _ = oracle.parse_rows(rows)
+    import hashlib
+
+    pato_shas = {
+        hashlib.sha256(r["content"].encode()).hexdigest()
+        for r in rows
+        if r["path"].startswith("ontologies/pato")
+    }
+    all_ids = {c[3 + 1] for c in clauses if c[3] != "Header" and c[3 + 1]}
+    removed_only = {
+        c[3 + 1] for c in clauses if c[0] in pato_shas and c[3] != "Header" and c[3 + 1]
+    } - {c[3 + 1] for c in clauses if c[0] not in pato_shas and c[3] != "Header" and c[3 + 1]}
+    n_removed = len(removed_only)
+    n_unchanged = len(all_ids) - n_removed
+    out = []
+    if n_removed:
+        out.append(("removed", n_removed))
+    out.append(("unchanged", n_unchanged))
+    return _values_sql(sorted(out), ["change", "n_frames"])
+
+
+# late registrations (defined below the base registry)
+QUERIES["obo_url_compaction"] = q_obo_url_compaction
+QUERIES["obo_frame_diff"] = q_obo_frame_diff
+_BASE_ORACLE_SQLS = oracle_sqls
+
+
+def oracle_sqls() -> dict[str, str]:  # noqa: F811 — extends the base registry
+    out = _BASE_ORACLE_SQLS()
+    out["obo_url_compaction"] = sql_obo_url_compaction()
+    out["obo_frame_diff"] = sql_obo_frame_diff()
+    return out

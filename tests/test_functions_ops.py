@@ -1,0 +1,195 @@
+"""Tests for date functions (§2.5), idspace compaction (O6), mention
+linking (O7), frame dicts (O12), diffing (O15), multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_parse_creation_date(spark):
+    from fastobo_py_spark.functions.dates import (
+        creation_date_kind,
+        creation_date_tz,
+        parse_creation_date,
+    )
+
+    # shapes from the reference's own tests (tests/common.py:173-194)
+    df = spark.createDataFrame(
+        [("2021-01-23",), ("2021-01-23T12:00:00",), ("2021-01-23T12:00:00Z",), ("2021-01-23T12:00:00+02:00",), ("garbage",)],
+        "raw string",
+    ).select(
+        "raw",
+        creation_date_kind(F.col("raw")).alias("kind"),
+        creation_date_tz(F.col("raw")).alias("tz"),
+        parse_creation_date(F.col("raw")).cast("string").alias("ts"),
+    )
+    rows = {r["raw"]: r for r in df.collect()}
+    assert rows["2021-01-23"]["kind"] == "date"
+    assert rows["2021-01-23"]["ts"] == "2021-01-23 00:00:00"
+    assert rows["2021-01-23T12:00:00"]["kind"] == "datetime"
+    assert rows["2021-01-23T12:00:00"]["tz"] is None
+    assert rows["2021-01-23T12:00:00Z"]["kind"] == "datetime_tz"
+    assert rows["2021-01-23T12:00:00Z"]["tz"] == "Z"
+    assert rows["2021-01-23T12:00:00+02:00"]["tz"] == "+02:00"
+    # session tz = UTC, so +02:00 shifts back two hours
+    assert rows["2021-01-23T12:00:00+02:00"]["ts"] == "2021-01-23 10:00:00"
+    assert rows["garbage"]["kind"] is None and rows["garbage"]["ts"] is None
+
+
+def test_parse_header_date(spark):
+    from fastobo_py_spark.functions.dates import format_header_date, parse_header_date
+
+    df = spark.createDataFrame([("25:03:2019 16:28",)], "raw string").select(
+        parse_header_date(F.col("raw")).alias("ts")
+    )
+    out = df.select(format_header_date(F.col("ts")).alias("rt")).collect()[0]["rt"]
+    assert out == "25:03:2019 16:28"
+
+
+def test_compaction_roundtrip(spark):
+    from fastobo_py_spark.operators.idents import compact_url, decompact_prefixed
+
+    df = spark.createDataFrame(
+        [("CHEBI:27958",), ("http://purl.obolibrary.org/obo/CHEBI_27958",), ("plain",)], "ident string"
+    ).select(
+        "ident",
+        compact_url(F.col("ident")).alias("compacted"),
+        decompact_prefixed(F.col("ident")).alias("decompacted"),
+    )
+    rows = {r["ident"]: r for r in df.collect()}
+    # the doc.rs:219-234 round-trip example
+    assert rows["http://purl.obolibrary.org/obo/CHEBI_27958"]["compacted"] == "CHEBI:27958"
+    assert rows["CHEBI:27958"]["decompacted"] == "http://purl.obolibrary.org/obo/CHEBI_27958"
+    assert rows["plain"]["compacted"] == "plain"
+
+
+def test_compact_with_idspaces(spark, clauses):
+    """pato docs declare idspace: PATO http://purl.obolibrary.org/obo/PATO_ —
+    the URL is_a object must compact through the declaration (O6)."""
+    from fastobo_py_spark.operators.idents import compact_with_idspaces
+    from fastobo_py_spark.operators.triples import extract_edges
+
+    edges = extract_edges(clauses.where(F.col("path").startswith("ontologies/pato")))
+    urls = edges.where(F.col("obj").startswith("http://"))
+    assert urls.count() > 0
+    compacted = compact_with_idspaces(urls, "obj", clauses)
+    assert compacted.where(F.col("obj").startswith("http://")).count() == 0
+    assert compacted.where(F.col("obj").rlike("^PATO:")).count() == urls.count()
+
+
+def test_link_mentions(spark, clauses):
+    from fastobo_py_spark.operators.linking import link_mentions
+
+    mentions = spark.createDataFrame(
+        [("m1", "Left"), ("m2", "struct 7"), ("m3", "no such thing")], "mid string, mention string"
+    )
+    out = link_mentions(mentions, clauses).collect()
+    by_mid = {}
+    for r in out:
+        by_mid.setdefault(r["mid"], []).append(r)
+    # plana-like docs declare synonym "struct N" EXACT
+    assert any(r["id"] is not None for r in by_mid["m2"])
+    assert all(r["id"] is None for r in by_mid["m3"])
+
+
+def test_frame_dicts(spark, clauses):
+    from fastobo_py_spark.operators.materialize import frame_dicts
+
+    d = frame_dicts(clauses.where(F.col("frame_id") == "MS0:0000003"))
+    row = d.collect()[0]
+    m = row["clauses"]
+    assert m["is_obsolete"] == ["true"]
+    assert m["replaced_by"] == ["MS0:0000001"]
+    assert "name" in m
+
+
+def test_edge_diff(spark):
+    from fastobo_py_spark.operators.diff import edge_diff
+
+    old = spark.createDataFrame([("a", "is_a", "b"), ("c", "is_a", "d")], "subj string, pred string, obj string")
+    new = spark.createDataFrame([("a", "is_a", "b"), ("e", "is_a", "f")], "subj string, pred string, obj string")
+    changes = {(r["subj"], r["change"]) for r in edge_diff(old, new).collect()}
+    assert changes == {("e", "added"), ("c", "removed")}
+
+
+def test_frame_change_summary(spark, clauses):
+    from fastobo_py_spark.operators.diff import frame_change_summary
+
+    # diff the corpus against itself minus one frame, with one frame altered
+    old = clauses
+    new = clauses.where(F.col("frame_id") != "GO:0020000").withColumn(
+        "value_text",
+        F.when((F.col("frame_id") == "GO:0020001") & (F.col("tag") == "name"), F.lit("renamed")).otherwise(
+            F.col("value_text")
+        ),
+    )
+    ch = {r["id"]: r["change"] for r in frame_change_summary(old, new).collect()}
+    assert ch["GO:0020000"] == "removed"
+    assert ch["GO:0020001"] == "modified"
+    assert ch["MS0:0000001"] == "unchanged"
+
+
+def test_multimodal_features(spark):
+    from fastobo_py_spark.operators.multimodal import extract_features, sample_frames, synth_media
+
+    media = synth_media(spark, n=30)
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    assert all(len(r["features"]) == 16 for r in feats)
+    assert all(0.0 <= v <= 1.0 for r in feats for v in r["features"])
+    # deterministic: same payload -> same features
+    again = {r["media_id"]: r["features"] for r in extract_features(media).collect()}
+    assert all(again[r["media_id"]] == r["features"] for r in feats)
+    frames = sample_frames(media, every_ms=5000)
+    vid_rows = frames.groupBy("media_id").count().collect()
+    assert len(vid_rows) == 10  # every 3rd media row is video
+
+
+def test_lsh_bucketed_ann(spark):
+    from fastobo_py_spark.operators.similarity import lsh_bucketed_topk, self_topk
+    from fastobo_py_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = self_topk(emb, n_queries=10, k=3).collect()
+    approx = lsh_bucketed_topk(emb, n_queries=10, k=3, n_planes=4).collect()
+    # ANN returns a subset of queries (bucket may be sparse) and plausible ranks
+    assert {r["rank"] for r in approx} <= {1, 2, 3}
+    exact_best = {r["query_id"]: r["neighbor_id"] for r in exact if r["rank"] == 1}
+    hits = sum(1 for r in approx if r["rank"] == 1 and exact_best.get(r["query_id"]) == r["neighbor_id"])
+    assert hits >= 1  # recall > 0 at 4 planes
+
+
+def test_cardinality_violations(spark):
+    from fastobo_py_spark.operators.parse import cardinality_violations, parse_corpus, split_parsed
+
+    bad = "format-version: 1.2\n\n[Term]\nid: X:1\nname: first\nname: second\ndef: \"a\" []\n"
+    df = spark.createDataFrame(
+        [("r", "a.obo", "c", "OBO", bad)], "repo string, path string, commit string, lang string, content string"
+    )
+    cl, _ = split_parsed(parse_corpus(df))
+    v = cardinality_violations(cl).collect()
+    assert len(v) == 1
+    assert (v[0]["frame_id"], v[0]["tag"], v[0]["n"]) == ("X:1", "name", 2)
+
+
+def test_graph_json_roundtrip(spark, clauses):
+    from fastobo_py_spark.operators.graphjson import dump_graph, load_graph
+    from fastobo_py_spark.operators.materialize import build_nodes
+    from fastobo_py_spark.operators.triples import extract_edges
+
+    sub = clauses.where(F.col("path").startswith("ontologies/ms_0"))
+    nodes = build_nodes(sub)
+    edges = extract_edges(sub, include_xrefs=False)
+    gj = dump_graph(nodes, edges)
+    assert gj.count() == 1
+    n2, e2 = load_graph(spark, gj)
+    # node and edge sets survive the JSON round-trip (modulo compaction)
+    assert n2.count() == nodes.count()
+    got = {(r["subj"], r["pred"], r["obj"]) for r in e2.collect()}
+    want = {(r["subj"], r["pred"], r["obj"]) for r in edges.collect()}
+    assert got == want
+    # and the JSON is valid obographs shape
+    import json
+
+    doc = json.loads(gj.collect()[0]["graph_json"])
+    assert "graphs" in doc and "nodes" in doc["graphs"][0] and "edges" in doc["graphs"][0]
