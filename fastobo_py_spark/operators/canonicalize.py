@@ -69,12 +69,23 @@ def resolution_map(clauses: DataFrame, max_hops: int = 3, driver_threshold: int 
     """
     aliases = alias_map(clauses)
     repl = replacement_map(clauses)
-    n = aliases.count() + repl.count()
-    if n <= driver_threshold:
-        import pandas as pd
+    # ONE driver job fetches both maps (limit guards the driver: if the
+    # fetch hits the cap, fall through to the distributed composition)
+    import pandas as pd
 
-        a = aliases.toPandas().rename(columns={"alias": "old", "canonical": "new"})
-        r = repl.toPandas().rename(columns={"obsolete_id": "old", "replacement": "new"})
+    both = (
+        aliases.select(F.col("alias").alias("old"), F.col("canonical").alias("new"), "doc_sha", F.lit(0).alias("k"))
+        .unionByName(
+            repl.select(
+                F.col("obsolete_id").alias("old"), F.col("replacement").alias("new"), "doc_sha", F.lit(1).alias("k")
+            )
+        )
+        .limit(driver_threshold + 1)
+        .toPandas()
+    )
+    if len(both) <= driver_threshold:
+        a = both[both["k"] == 0][["doc_sha", "old", "new"]]
+        r = both[both["k"] == 1][["doc_sha", "old", "new"]]
         # repl keys enter at identity so every entry receives exactly
         # max_hops applications; alias wins when both are declared.
         ident = r[["doc_sha", "old"]].copy()

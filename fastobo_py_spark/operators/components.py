@@ -47,11 +47,10 @@ def connected_components(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .dropDuplicates()
-        .localCheckpoint(eager=True)
     )
-    n_pairs = e_raw.count()
-    if n_pairs <= driver_threshold:
-        rows = e_raw.collect()
+    # ONE driver job: fetch up to threshold+1 pairs; overflow → distributed
+    rows = e_raw.limit(driver_threshold + 1).collect()
+    if len(rows) <= driver_threshold:
         parent: dict = {}
 
         def find(x: str) -> str:
@@ -70,7 +69,7 @@ def connected_components(
         ids = {v for row in rows for v in row}
         out = [(i, find(i)) for i in sorted(ids)]
         return e_raw.sparkSession.createDataFrame(out, "id string, component string")
-    return _distributed_cc(e_raw, max_iter)
+    return _distributed_cc(e_raw.localCheckpoint(eager=True), max_iter)
 
 
 def _distributed_cc(e: DataFrame, max_iter: int) -> DataFrame:

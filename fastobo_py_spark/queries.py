@@ -850,3 +850,52 @@ def oracle_sqls() -> dict[str, str]:  # noqa: F811 — extends the base registry
     out["obo_url_compaction"] = sql_obo_url_compaction()
     out["obo_frame_diff"] = sql_obo_frame_diff()
     return out
+
+
+def q_obo_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Serializer round-trip audit: serialize every parsed doc back to
+    canonical OBO, reparse, and compare clause counts — per family."""
+    from fastobo_py_spark.obo.serializer import serialize_documents
+    from fastobo_py_spark.operators.parse import parse_corpus, split_parsed
+
+    cl = _clauses(spark)
+    texts = serialize_documents(cl)
+    reparsed_corpus = texts.select(
+        F.lit("roundtrip").alias("repo"),
+        F.col("doc_sha").alias("path"),  # carries the ORIGINAL sha forward
+        F.lit("rt").alias("commit"),
+        F.lit("OBO").alias("lang"),
+        F.col("obo_text").alias("content"),
+    )
+    cl2, _ = split_parsed(parse_corpus(reparsed_corpus))
+    before = cl.groupBy(F.col("doc_sha").alias("orig_sha")).agg(F.count("*").alias("n_before"))
+    after = cl2.groupBy(F.col("path").alias("orig_sha")).agg(F.count("*").alias("n_after"))
+    return (
+        before.join(after, "orig_sha")
+        .select(
+            F.when(F.col("n_before") == F.col("n_after"), F.lit("identical")).otherwise(F.lit("mismatch")).alias(
+                "status"
+            )
+        )
+        .groupBy("status")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("status")
+    )
+
+
+def sql_obo_roundtrip() -> str:
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    n_parsed = sum(1 for r in generate_corpus(**_CORPUS_KW) if r["lang"] == "OBO" and "broken" not in r["path"])
+    return _values_sql([("identical", n_parsed)], ["status", "n_docs"])
+
+
+QUERIES["obo_serializer_roundtrip"] = q_obo_roundtrip
+_BASE2 = oracle_sqls
+
+
+def oracle_sqls() -> dict[str, str]:  # noqa: F811
+    out = _BASE2()
+    out["obo_serializer_roundtrip"] = sql_obo_roundtrip()
+    return out

@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: .explain("formatted") excerpts for key operators."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    from fastobo_py_spark import get_spark
+    from fastobo_py_spark.operators.canonicalize import apply_xref_macros
+    from fastobo_py_spark.operators.parse import parse_corpus, split_parsed
+    from fastobo_py_spark.operators.triples import extract_edges
+    from fastobo_py_spark.queries import q_region_revenue
+    from fastobo_py_spark.sources.corpus import corpus_to_parquet
+
+    spark = get_spark(master="local[8]")
+    d = tempfile.mkdtemp(prefix="plans_corpus_")
+    corpus_to_parquet(d, n_obo=8, n_noise=8, n_broken=0, n_files=4)
+
+    out = [PREAMBLE]
+
+    def show(title, df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        lines = buf.getvalue().split("\n")[:120]
+        out.append(f"\n## {title}\n\n```\n" + "\n".join(lines).rstrip() + "\n```")
+
+    c = spark.read.parquet(d)
+    clauses, _ = split_parsed(parse_corpus(c))
+    show(
+        "Corpus scan → OBO filter → Arrow parse (column pruning: only repo/path/content read)",
+        clauses.where(F.col("tag") == "is_a").select("doc_sha", "frame_id", "v1"),
+    )
+    e = apply_xref_macros(extract_edges(clauses), clauses)
+    show("Edges + macro synthesis (single scan; broadcast macro dim)", e.groupBy("pred").count())
+    show("TPC-H Q5 shape (dims broadcast, AQE shuffles)", q_region_revenue(spark, "/root/testdata/sf0.001"))
+    spark.stop()
+    shutil.rmtree(d)
+    with open("PLANS.md", "w") as fh:
+        fh.write("\n".join(out) + "\n")
+
+
+PREAMBLE = """# PLANS — physical-plan evidence for the scale claims
+
+`.explain("formatted")` excerpts captured from the live engine (regenerate
+with `python tools/capture_plans.py`). What to look for, per the
+100 TB design goals:
+
+* **PushedFilters / ReadSchema** on parquet scans — predicate pushdown and
+  column pruning reach the source (only the consumed columns are read).
+* **BroadcastHashJoin** for every dimension-sized side (header idspace
+  maps, resolution map, CC components, TPC-H dims) — no shuffle of the
+  big side.
+* **WholeStageCodegen** spans covering the extraction/linking projections
+  — the hot path never leaves the JVM except the one Arrow parse stage
+  (ArrowEvalPython / MapInPandas appears exactly once per pipeline).
+* **AQE** (AdaptiveSparkPlan) wrapping every shuffle so skewed ontology
+  hubs re-plan at runtime.
+"""
+
+if __name__ == "__main__":
+    main()
