@@ -85,3 +85,19 @@ def write_graph(nodes: DataFrame, edges: DataFrame, out_dir: str, n_salts: int =
     with_salt(edges, "subj", n_salts).write.mode("overwrite").partitionBy("idspace", "salt").parquet(
         f"{out_dir}/edges"
     )
+
+
+def hub_degrees(edges: DataFrame, n_salts: int = 16) -> DataFrame:
+    """O18: in-degree per object with explicit salt two-phase aggregation.
+
+    A plain ``groupBy(obj)`` sends every edge of a GO/CHEBI hub to ONE
+    reducer; salting first aggregates (obj, salt) partials — at most
+    ``n_salts`` rows per hub survive to the final exchange, bounding any
+    single task's input regardless of hub size (the north-star skew case).
+    """
+    partial = (
+        with_salt(edges, "obj", n_salts)
+        .groupBy("obj", "salt")
+        .agg(F.count("*").alias("partial_degree"))
+    )
+    return partial.groupBy("obj").agg(F.sum("partial_degree").cast("long").alias("in_degree"))

@@ -899,3 +899,44 @@ def oracle_sqls() -> dict[str, str]:  # noqa: F811
     out = _BASE2()
     out["obo_serializer_roundtrip"] = sql_obo_roundtrip()
     return out
+
+
+def q_obo_hub_degrees(spark: SparkSession, sf: str) -> DataFrame:
+    """O18: salted two-phase in-degree — top 10 hub targets (go-like docs
+    concentrate ~60% of is_a edges on 3 hubs per doc)."""
+    from fastobo_py_spark.operators.materialize import hub_degrees
+    from fastobo_py_spark.operators.triples import extract_edges
+
+    e = (
+        extract_edges(_clauses(spark))
+        .where(F.col("pred") == "is_a")
+        .dropDuplicates(["subj", "pred", "obj", "doc_sha"])
+    )
+    return hub_degrees(e).orderBy(F.col("in_degree").desc(), F.col("obj")).limit(10)
+
+
+def sql_obo_hub_degrees() -> str:
+    from collections import Counter
+
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    edges = oracle.build_edges(generate_corpus(**_CORPUS_KW), canonicalize=False, apply_macros=False)
+    deg = Counter()
+    seen = set()
+    for s, p, o, _, sha in edges:
+        if p == "is_a" and (s, p, o, sha) not in seen:
+            seen.add((s, p, o, sha))
+            deg[o] += 1
+    top = sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return _values_sql(top, ["obj", "in_degree"])
+
+
+QUERIES["obo_hub_degrees"] = q_obo_hub_degrees
+_BASE3 = oracle_sqls
+
+
+def oracle_sqls() -> dict[str, str]:  # noqa: F811
+    out = _BASE3()
+    out["obo_hub_degrees"] = sql_obo_hub_degrees()
+    return out
