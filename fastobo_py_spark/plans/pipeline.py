@@ -87,8 +87,11 @@ def run_pipeline(
 
     parsed = parse_corpus(src)
     clauses, quarantine = split_parsed(parsed)
-    # one pass over the corpus feeds every downstream stage
-    clauses = clauses.persist()
+    # one pass over the corpus feeds every downstream stage; hash-partition
+    # by doc_sha so every doc-keyed operation downstream (incl. the final
+    # dedup, whose keys contain doc_sha) is satisfied without re-shuffling
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    clauses = clauses.repartition(n_shuffle, "doc_sha").persist()
 
     edges = extract_edges(clauses)
     edges = apply_xref_macros(edges, clauses)
