@@ -44,6 +44,17 @@ def is_obo_document(content_col, lang_col=None):
     return sniff
 
 
+def _assert_is_obo(clause_rows) -> None:
+    """Quarantine files that lex as tag:value lines but are not OBO (a
+    mislabeled lang='OBO' JSON/YAML file, the FIXTURES.md error case):
+    a real document has at least one entity frame or a format-version
+    header."""
+    for r in clause_rows:
+        if r[0] != "Header" or r[4] == "format-version":
+            return
+    raise ParseError("no frames and no format-version header: not an OBO document", 1)
+
+
 def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: (repo, path, content) batches → clause/error rows."""
     for pdf in batches:
@@ -59,6 +70,7 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             meta = (sha, repos[i], paths[i])
             try:
                 clause_rows = parse_document(content)
+                _assert_is_obo(clause_rows)
             except ParseError as e:
                 out.append(meta + _EMPTY_CLAUSE + (True, "SyntaxError", str(e), e.line_no))
                 continue

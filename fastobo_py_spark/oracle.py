@@ -46,6 +46,8 @@ def parse_rows(corpus_rows):
         sha = hashlib.sha256(content.encode()).hexdigest()
         try:
             rows = parse_document(content)
+            if not any(t[0] != "Header" or t[4] == "format-version" for t in rows):
+                raise ParseError("no frames and no format-version header: not an OBO document", 1)
         except ParseError as e:
             quarantine.append((sha, r["repo"], r["path"], "SyntaxError", str(e), e.line_no))
             continue

@@ -887,7 +887,8 @@ def sql_obo_roundtrip() -> str:
     from fastobo_py_spark import oracle
     from fastobo_py_spark.sources.corpus import generate_corpus
 
-    n_parsed = sum(1 for r in generate_corpus(**_CORPUS_KW) if r["lang"] == "OBO" and "broken" not in r["path"])
+    clauses, _ = oracle.parse_rows(generate_corpus(**_CORPUS_KW))
+    n_parsed = len({c[0] for c in clauses})
     return _values_sql([("identical", n_parsed)], ["status", "n_docs"])
 
 

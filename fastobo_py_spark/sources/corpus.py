@@ -262,6 +262,18 @@ def generate_corpus(n_obo: int = 40, n_noise: int = 160, n_broken: int = 2, seed
                 "content": make_broken(i),
             }
         )
+    if n_broken:
+        # FIXTURES.md error case 2: non-OBO content mislabeled lang='OBO'
+        # (lexes as tag:value lines but has no frames / format-version)
+        rows.append(
+            {
+                "repo": "org0/mislabeled",
+                "path": "config/settings.yaml",
+                "commit": _sha1("mislabeled"),
+                "lang": "OBO",
+                "content": "host: example.org\nport: 8080\nretries: 3\n",
+            }
+        )
     for i in range(n_noise):
         path, lang, content = make_noise(i, rng)
         rows.append(

@@ -26,7 +26,7 @@ def test_parse_counts(spark, corpus, clauses, corpus_rows):
     py_clauses, py_quar = oracle.parse_rows(corpus_rows)
     assert clauses.count() == len(py_clauses)
     _, quarantine = split_parsed(parse_corpus(corpus))
-    assert quarantine.count() == len(py_quar) == 2
+    assert quarantine.count() == len(py_quar) == 3
 
 
 def test_doc_sha_invariant(spark, clauses, corpus_rows):
@@ -35,7 +35,7 @@ def test_doc_sha_invariant(spark, clauses, corpus_rows):
     want = {hashlib.sha256(r["content"].encode()).hexdigest() for r in corpus_rows if r["lang"] == "OBO"}
     got = {r["doc_sha"] for r in clauses.select("doc_sha").distinct().collect()}
     assert got <= want  # parsed docs are a subset (broken ones quarantined)
-    assert len(want - got) == 2
+    assert len(want - got) == 3
 
 
 def test_frame_counts_vs_oracle(spark, clauses, corpus_rows):
@@ -43,17 +43,12 @@ def test_frame_counts_vs_oracle(spark, clauses, corpus_rows):
     import hashlib
     from collections import Counter
 
-    want = Counter()
-    for row in corpus_rows:
-        if row["lang"] != "OBO":
-            continue
-        sha = hashlib.sha256(row["content"].encode()).hexdigest()
-        try:
-            rows = oracle.parse_document(row["content"])
-        except Exception:
-            continue
-        want[sha] = len({r[2] for r in rows if r[0] != "Header"})
-    assert got == dict(want)
+    py_clauses, _ = oracle.parse_rows(corpus_rows)
+    frames = {}
+    for c in py_clauses:
+        if c[3] != "Header":
+            frames.setdefault(c[0], set()).add(c[5])
+    assert got == {sha: len(ixs) for sha, ixs in frames.items()}
 
 
 def test_edges_raw_vs_oracle(spark, clauses, corpus_rows):
@@ -130,8 +125,8 @@ def test_pipeline_resume(spark, corpus):
     out = tempfile.mkdtemp(prefix="kg_test_")
     try:
         m1 = run_pipeline(spark, corpus, out, canonicalize=False)
-        assert m1["docs_in_batch"] == 202
-        assert m1["quarantined_docs"] == 2
+        assert m1["docs_in_batch"] == 203
+        assert m1["quarantined_docs"] == 3
         assert pending_corpus(spark, corpus, out).count() == 0
         m2 = run_pipeline(spark, corpus, out, canonicalize=False)
         assert m2["docs_in_batch"] == 0
@@ -150,10 +145,12 @@ def test_spark_serializer_roundtrip(spark, clauses, corpus_rows):
     from fastobo_py_spark.obo.serializer import serialize_documents
 
     out = {r["doc_sha"]: r["obo_text"] for r in serialize_documents(clauses).collect()}
+    py_clauses, _ = oracle.parse_rows(corpus_rows)
+    parsed_shas = {c[0] for c in py_clauses}
     by_sha = {
         hashlib.sha256(r["content"].encode()).hexdigest(): r["content"]
         for r in corpus_rows
-        if r["lang"] == "OBO" and "broken" not in r["path"]
+        if hashlib.sha256(r["content"].encode()).hexdigest() in parsed_shas
     }
     assert set(out) == set(by_sha)
     checked = 0

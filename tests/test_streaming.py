@@ -28,7 +28,7 @@ def test_stream_parse_matches_batch(spark):
 
         batch = parse_corpus(spark.read.parquet(corpus_dir))
         assert n_stream == batch.count()
-        assert got.where(F.col("is_error")).count() == 1
+        assert got.where(F.col("is_error")).count() == 2  # 1 broken + 1 mislabeled
 
         # resumability: re-running against the same checkpoint adds nothing
         run_stream_to_parquet(spark, corpus_dir, out_dir, ckpt)
