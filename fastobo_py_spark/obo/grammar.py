@@ -139,6 +139,13 @@ def split_line(value: str):
     if "!" not in value and "{" not in value:
         return value.strip(), None, None
 
+    # Fast path 2: comment-bearing line with no quotes/brackets/escapes —
+    # the dominant shape (`is_a: X:1 ! parent term`) cuts straight to the
+    # first '!' (most ms.obo entity lines take this path).
+    if '"' not in value and "[" not in value and "{" not in value and "\\" not in value:
+        bang = value.find("!")
+        return value[:bang].strip(), None, value[bang + 1 :].strip()
+
     payload_end = len(value)
     qualifiers = None
     comment = None
