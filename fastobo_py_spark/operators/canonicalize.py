@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fastobo_py_spark.operators.hints import gated_broadcast, known_rows
 from fastobo_py_spark.operators.idents import ident_prefix
 
 
@@ -99,9 +100,12 @@ def resolution_map(clauses: DataFrame, max_hops: int = 3, driver_threshold: int 
         base = base[base["old"] != base["new"]]
         spark = clauses.sparkSession
         if base.empty:
-            return spark.createDataFrame([], "doc_sha string, old string, new string")
-        return spark.createDataFrame(
-            base[["doc_sha", "old", "new"]], schema="doc_sha string, old string, new string"
+            return known_rows(spark.createDataFrame([], "doc_sha string, old string, new string"), 0)
+        return known_rows(
+            spark.createDataFrame(
+                base[["doc_sha", "old", "new"]], schema="doc_sha string, old string, new string"
+            ),
+            len(base),
         )
 
     m = aliases.select("doc_sha", F.col("alias").alias("old"), F.col("canonical").alias("new"), F.lit(0).alias("prio"))
@@ -125,16 +129,24 @@ def resolution_map(clauses: DataFrame, max_hops: int = 3, driver_threshold: int 
 
 
 def rewrite_edges(
-    edges: DataFrame, clauses: DataFrame, max_hops: int = 3, resolution: DataFrame | None = None
+    edges: DataFrame,
+    clauses: DataFrame,
+    max_hops: int = 3,
+    resolution: DataFrame | None = None,
+    broadcast_threshold: int | None = None,
 ) -> DataFrame:
     """Canonicalize edge endpoints via the pre-composed resolution map —
     one equi-join per endpoint.
 
-    The map is broadcast (it is bounded by *declared aliases*, a tiny
-    fraction of the corpus; measured: shuffling the 5M-row edge table
-    twice instead costs far more than a driver broadcast of the map).
+    The map is bounded by *declared aliases*, usually a tiny fraction of
+    the corpus — when measurably small it broadcasts (shuffling the 5M-row
+    edge table twice costs far more than a driver broadcast of the map);
+    above the gate it falls back to a sort-merge join on (doc_sha, key)
+    so a pathological alias census cannot OOM executors.
     """
-    m = F.broadcast(resolution_map(clauses, max_hops) if resolution is None else resolution)
+    m = gated_broadcast(
+        resolution_map(clauses, max_hops) if resolution is None else resolution, broadcast_threshold
+    )
 
     ms = m.withColumnRenamed("old", "__ks").withColumnRenamed("new", "__vs").withColumnRenamed("doc_sha", "__ds")
     mo = m.withColumnRenamed("old", "__ko").withColumnRenamed("new", "__vo").withColumnRenamed("doc_sha", "__do")
@@ -204,7 +216,7 @@ def apply_xref_macros(edges: DataFrame, clauses: DataFrame) -> DataFrame:
     Returns the input edges unioned with the synthesized ones. The macro
     dim is broadcast; the xref scan shuffles nothing.
     """
-    macros = F.broadcast(macro_table(clauses).withColumnRenamed("doc_sha", "__d"))
+    macros = gated_broadcast(macro_table(clauses).withColumnRenamed("doc_sha", "__d"))
     xr = edges.where(F.col("src_tag") == "xref")
     m = xr.join(
         macros,

@@ -24,6 +24,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fastobo_py_spark.operators.hints import gated_broadcast, known_rows
+
+# doc_sha is a fixed-width 64-char hex string, so (doc_sha, id) composites
+# are length-splittable without a separator; min over the composite equals
+# (doc_sha, min id) because components never span documents.
+_SHA_LEN = 64
+
 
 def connected_components(
     pairs: DataFrame,
@@ -68,7 +75,9 @@ def connected_components(
                 parent[hi] = lo
         ids = {v for row in rows for v in row}
         out = [(i, find(i)) for i in sorted(ids)]
-        return e_raw.sparkSession.createDataFrame(out, "id string, component string")
+        return known_rows(
+            e_raw.sparkSession.createDataFrame(out, "id string, component string"), len(out)
+        )
     return _distributed_cc(e_raw.localCheckpoint(eager=True), max_iter)
 
 
@@ -114,13 +123,38 @@ def _distributed_cc(e: DataFrame, max_iter: int) -> DataFrame:
     return labels
 
 
+def _per_doc_cc(pairs_with_sha: DataFrame) -> DataFrame:
+    """(doc_sha, src, dst) pairs → (doc_sha, id, component) labels.
+
+    Equivalence scope is PER DOCUMENT (the reference resolves each OboDoc
+    independently, and so do rewrite_edges and oracle.py) — two documents
+    reusing the same local id must not leak equivalences into each other.
+    Vertices are keyed as the fixed-width composite concat(doc_sha, id) so
+    one CC job labels every document at once; the composite min equals the
+    per-document min-id representative because components cannot span
+    doc_sha prefixes.
+    """
+    composite = pairs_with_sha.select(
+        F.concat(F.col("doc_sha"), F.col("src")).alias("src"),
+        F.concat(F.col("doc_sha"), F.col("dst")).alias("dst"),
+    )
+    cc = connected_components(composite)
+    out = cc.select(
+        F.substring("id", 1, _SHA_LEN).alias("doc_sha"),
+        F.expr(f"substring(id, {_SHA_LEN + 1})").alias("id"),
+        F.expr(f"substring(component, {_SHA_LEN + 1})").alias("component"),
+    )
+    n = getattr(cc, "_known_rows", None)
+    return out if n is None else known_rows(out, n)
+
+
 def equivalence_components(edges: DataFrame) -> DataFrame:
     """CC over all 'equivalent_to' edges (incl. macro-synthesized) →
-    (id, component). Feed the output to :func:`canonical_rewrite`."""
+    (doc_sha, id, component). Feed the output to :func:`canonical_rewrite`."""
     pairs = edges.where(F.col("pred") == "equivalent_to").select(
-        F.col("subj").alias("src"), F.col("obj").alias("dst")
+        "doc_sha", F.col("subj").alias("src"), F.col("obj").alias("dst")
     )
-    return connected_components(pairs)
+    return _per_doc_cc(pairs)
 
 
 def equivalence_components_from_clauses(clauses: DataFrame, resolution: DataFrame | None = None) -> DataFrame:
@@ -150,12 +184,12 @@ def equivalence_components_from_clauses(clauses: DataFrame, resolution: DataFram
         "doc_sha", F.col("frame_id").alias("src"), F.col("v1").alias("dst")
     )
     via_macro = xrefs.join(
-        F.broadcast(eq_macros),
+        gated_broadcast(eq_macros),
         (xrefs["doc_sha"] == eq_macros["__d"]) & (ident_prefix(xrefs["dst"]) == eq_macros["macro_idspace"]),
     ).select("doc_sha", "src", "dst")
 
     pairs = explicit.unionByName(via_macro)
-    m = F.broadcast(resolution_map(clauses) if resolution is None else resolution)
+    m = gated_broadcast(resolution_map(clauses) if resolution is None else resolution)
     for col in ("src", "dst"):
         mm = m.withColumnRenamed("old", f"__k_{col}").withColumnRenamed("new", f"__v_{col}").withColumnRenamed(
             "doc_sha", f"__d_{col}"
@@ -165,23 +199,31 @@ def equivalence_components_from_clauses(clauses: DataFrame, resolution: DataFram
             .withColumn(col, F.coalesce(F.col(f"__v_{col}"), F.col(col)))
             .drop(f"__k_{col}", f"__v_{col}", f"__d_{col}")
         )
-    return connected_components(pairs.select("src", "dst"))
+    return _per_doc_cc(pairs)
 
 
-def canonical_rewrite(edges: DataFrame, components: DataFrame) -> DataFrame:
-    """Rewrite edge endpoints to their component representative.
+def canonical_rewrite(edges: DataFrame, components: DataFrame, broadcast_threshold: int | None = None) -> DataFrame:
+    """Rewrite edge endpoints to their component representative, joined on
+    (doc_sha, id) — equivalence never crosses documents.
 
     The component map is usually small vs the edge table (only ids that
-    appear in equivalence statements) — broadcast both endpoint joins.
+    appear in equivalence statements) — the endpoint joins broadcast when
+    the map is measurably small, else fall back to sort-merge (the
+    100 TB guard: see operators/hints.py).
     """
-    comp_s = components.withColumnRenamed("id", "__s").withColumnRenamed("component", "__cs")
-    comp_o = components.withColumnRenamed("id", "__o").withColumnRenamed("component", "__co")
+    comp = gated_broadcast(components, broadcast_threshold)
+    comp_s = (
+        comp.withColumnRenamed("id", "__s").withColumnRenamed("component", "__cs").withColumnRenamed("doc_sha", "__ds")
+    )
+    comp_o = (
+        comp.withColumnRenamed("id", "__o").withColumnRenamed("component", "__co").withColumnRenamed("doc_sha", "__do")
+    )
     out = (
-        edges.join(F.broadcast(comp_s), F.col("subj") == F.col("__s"), "left")
+        edges.join(comp_s, (F.col("doc_sha") == F.col("__ds")) & (F.col("subj") == F.col("__s")), "left")
         .withColumn("subj", F.coalesce(F.col("__cs"), F.col("subj")))
-        .drop("__s", "__cs")
-        .join(F.broadcast(comp_o), F.col("obj") == F.col("__o"), "left")
+        .drop("__s", "__cs", "__ds")
+        .join(comp_o, (F.col("doc_sha") == F.col("__do")) & (F.col("obj") == F.col("__o")), "left")
         .withColumn("obj", F.coalesce(F.col("__co"), F.col("obj")))
-        .drop("__o", "__co")
+        .drop("__o", "__co", "__do")
     )
     return out

@@ -58,7 +58,7 @@ def extract_edges(clauses: DataFrame, include_xrefs: bool = True) -> DataFrame:
         F.col("frame_id").alias("subj"),
         pred.alias("pred"),
         obj.alias("obj"),
-        F.when(t.isin("relationship", "intersection_of"), t).otherwise(t).alias("src_tag"),
+        t.alias("src_tag"),
         "doc_sha",
     )
     return edges.withColumn("idspace", edge_idspace(F.col("subj")))

@@ -14,6 +14,7 @@ ms.obo == 2941 frames); everything downstream is written twice on purpose.
 from __future__ import annotations
 
 import hashlib
+import re
 from collections import defaultdict
 
 from fastobo_py_spark.obo.parser import CLAUSE_FIELDS, ParseError, parse_document
@@ -55,8 +56,6 @@ def parse_rows(corpus_rows):
             clauses.append((sha, r["repo"], r["path"]) + t)
     return clauses, quarantine
 
-
-import re
 
 _URL_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
 

@@ -197,7 +197,9 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, ts,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_ix
+         -- DuckDB sum() OVER returns HUGEINT; Spark emits BIGINT — cast so
+         -- the driver's value hash agrees (same fix as duration_us below)
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_ix
   FROM flagged
 )
 SELECT user_id, session_ix, count(*) AS n_events,

@@ -161,3 +161,41 @@ def test_spark_serializer_roundtrip(spark, clauses, corpus_rows):
         assert norm(got) == norm(want)
         checked += 1
     assert checked == 40
+
+
+def test_equivalence_scope_is_per_document(spark):
+    """Two documents reusing the same local ids must not leak equivalences
+    into each other (reference: each OboDoc resolves independently)."""
+    sha_a, sha_b = "a" * 64, "b" * 64
+    edges = spark.createDataFrame(
+        [
+            # doc A declares X:1 == Y:9; doc B merely *uses* X:1
+            (sha_a, "X:1", "equivalent_to", "Y:9", "equivalent_to", "X"),
+            (sha_a, "X:1", "is_a", "Z:5", "is_a", "X"),
+            (sha_b, "X:1", "is_a", "Z:5", "is_a", "X"),
+        ],
+        "doc_sha string, subj string, pred string, obj string, src_tag string, idspace string",
+    )
+    comps = equivalence_components(edges)
+    got = {(r["doc_sha"], r["subj"]) for r in canonical_rewrite(edges, comps).collect()}
+    # doc A's X:1 rewrites to the component min (X:1 < Y:9 so stays X:1);
+    # the real check: doc B's rows are untouched even when A merges ids
+    assert (sha_b, "X:1") in got
+    comp_rows = {(r["doc_sha"], r["id"]): r["component"] for r in comps.collect()}
+    assert set(k[0] for k in comp_rows) == {sha_a}  # only doc A has labels
+
+
+def test_rewrite_without_broadcast_matches(spark, clauses, corpus_rows):
+    """Force the gated broadcast OFF (threshold 0 → sort-merge fallback):
+    results must be identical to the broadcast plan."""
+    e = extract_edges(clauses)
+    e = apply_xref_macros(e, clauses)
+    smj = rewrite_edges(e, clauses, broadcast_threshold=0)
+    comps = equivalence_components(smj)
+    smj = canonical_rewrite(smj, comps, broadcast_threshold=0).dropDuplicates(
+        ["subj", "pred", "obj", "doc_sha"]
+    )
+    got = {(r["subj"], r["pred"], r["obj"], r["doc_sha"]) for r in smj.collect()}
+    want = oracle.edge_key_set(oracle.build_edges(corpus_rows, canonicalize=True))
+    p, r = oracle.precision_recall(got, want)
+    assert (p, r) == (1.0, 1.0), f"precision={p} recall={r}"
