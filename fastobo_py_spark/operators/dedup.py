@@ -60,10 +60,13 @@ def shingles(col: Column, k: int = SHINGLE_K) -> Column:
 
 
 def minhash_signatures(documents: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
-    """(doc_id, h0..h{n-1}): MinHash signature as hex-string minima."""
-    sh = documents.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh")).dropDuplicates(
-        ["doc_id", "sh"]
-    )
+    """(doc_id, h0..h{n-1}): MinHash signature as hex-string minima.
+
+    No shingle dedup before the aggregation: ``min`` is duplicate-
+    insensitive, so the dropDuplicates shuffle the Jaccard path needs is
+    pure cost here — one groupBy is the only exchange.
+    """
+    sh = documents.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}") for i in range(n_hashes)
     ]
@@ -89,7 +92,11 @@ def lsh_bands(signatures: DataFrame, n_bands: int = N_BANDS, rows_per_band: int 
 def minhash_candidate_pairs(documents: DataFrame) -> DataFrame:
     """(doc_a, doc_b, est_jaccard): pairs sharing >=1 LSH band, with the
     signature-agreement estimate. doc_a < doc_b; distinct."""
-    sigs = minhash_signatures(documents)
+    # the signature table feeds FOUR plan branches (band left/right, est
+    # join a/b) — without a persist each branch re-runs the shingle
+    # explode + 16 min-aggs (measured: 4x the signature cost, the
+    # dominant term of the round-1 bench's 8 s)
+    sigs = minhash_signatures(documents).persist()
     bands = lsh_bands(sigs)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band_ix", "band_hash")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band_ix", "band_hash")
@@ -158,6 +165,91 @@ def simhash(documents: DataFrame, n_bits: int = 60) -> DataFrame:
     return per_bit.groupBy("doc_id").agg(
         F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))).alias("simhash")
     )
+
+
+def simhash_hamming_pairs(
+    documents: DataFrame, max_hamming: int = 3, n_bits: int = 60, n_bands: int = 4
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): near-dup pairs with SimHash Hamming
+    distance ≤ ``max_hamming``, found WITHOUT an all-pairs product.
+
+    The 60-bit fingerprint splits into ``n_bands`` equal bands; candidates
+    come from a self-join on (band_ix, band_value). By pigeonhole this is
+    EXACT (recall 1.0) for ``max_hamming ≤ n_bands - 1``: at most
+    ``max_hamming`` bands can differ, so some band matches. The verify
+    step computes the true popcount distance on candidates only — the
+    same two-stage shape as the MinHash path above.
+    """
+    assert max_hamming <= n_bands - 1, "band count too low for exact recall"
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+    sig = simhash(documents, n_bits)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_ix"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "band_ix",
+        F.expr(f"shiftright(simhash, band_ix * {width}) & {mask}").alias("band_val"),
+    )
+    left = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band_ix", "band_val")
+    right = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band_ix", "band_val")
+    cand = (
+        left.join(right, ["band_ix", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.expr("sig_a ^ sig_b"))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(F.col("hamming") <= max_hamming)
+
+
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_tables: int = 4,
+    n_planes: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """(vec_a, vec_b): LSH-bucketed near-duplicate pairs — the 100 TB path.
+
+    AND-OR amplification: ``n_tables`` hash tables of ``n_planes``
+    hyperplane sign bits each; candidate pairs share a full bucket in at
+    least one table (bucket equi-join per table, never all-pairs), then
+    exact cosine verifies ≥ threshold. Recall < 1 by design — the scale
+    trade the all-pairs baseline (:func:`embedding_near_dup_pairs`)
+    cannot make.
+    """
+    from fastobo_py_spark.operators.similarity import signature_udf
+
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("sig", signature_udf(n_tables * n_planes, seed)(F.col("v")))
+    # one signature UDF pass; each table's bucket is a substring slice
+    tables = e.select(
+        "vec_id",
+        "v",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("t"),
+    ).select(
+        "vec_id",
+        "v",
+        "t",
+        F.expr(f"substring(sig, t * {n_planes} + 1, {n_planes})").alias("bucket"),
+    )
+    a = tables.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "t", "bucket")
+    b = tables.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "t", "bucket")
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    return cand.where(dot / (na * nb) >= threshold).select("vec_a", "vec_b")
 
 
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:

@@ -4,19 +4,26 @@ Two paths:
   * brute-force cosine top-k — the correctness baseline; broadcast the
     (small) query set, one scan of the corpus, per-partition partial
     top-k via window rank. Exactly mirrorable in SQL for the oracle.
-  * LSH-bucketed ANN — the 100 TB path: random-hyperplane signatures
-    bucket the corpus; queries probe only their own bucket, turning the
-    cross join into an equi-join on the bucket key. Deterministic
-    hyperplanes (seeded hash-based pseudo-randoms) so results are stable
-    and testable without numpy state.
+  * LSH-bucketed ANN / near-dup — the 100 TB path: random-hyperplane
+    signatures bucket the corpus; probes join only their own bucket,
+    turning the cross join into an equi-join on the bucket key.
+    Hyperplanes come from a seeded ``numpy.random.RandomState`` generated
+    INSIDE the Arrow-batched pandas UDF — no ``dim × n_planes`` literal
+    arrays bloating the plan (fine at dim=16, pathological at dim=1024)
+    and no driver-side ``.first()`` to sniff the dimension. The same seed
+    reproduces the exact weights anywhere (incl. the DuckDB oracle, which
+    gets them as SQL literals via :func:`hyperplane_weights`).
 """
 
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 
@@ -82,14 +89,43 @@ def hyperplane_signature(v: Column, dim: int, n_planes: int = 8, seed: int = 7) 
     return F.concat(*bits)
 
 
-def lsh_bucketed_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5, n_planes: int = 8) -> DataFrame:
+def hyperplane_weights(dim: int, n_planes: int, seed: int = 7) -> "np.ndarray":
+    """Deterministic Gaussian hyperplanes, shape (dim, n_planes).
+
+    Generated from a seeded RandomState so executors, the driver, and the
+    DuckDB oracle (which receives them as SQL literals) all agree bit-for-
+    bit — float64 repr round-trips exactly.
+    """
+    return np.random.RandomState(seed).standard_normal((dim, n_planes))
+
+
+def signature_udf(n_planes: int, seed: int = 7):
+    """pandas UDF: array<double> embedding → '0101...' sign-bit string.
+
+    The weight matrix is rebuilt per executor from the seed (a few KB of
+    numpy state) instead of shipping dim × n_planes literals in the plan;
+    each Arrow batch is one vectorized (batch × dim) @ (dim × n_planes)
+    matmul.
+    """
+
+    @pandas_udf("string")
+    def sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.stack(v.to_numpy())
+        bits = mat @ hyperplane_weights(mat.shape[1], n_planes, seed) >= 0
+        return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
+
+    return sig
+
+
+def lsh_bucketed_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5, n_planes: int = 8, seed: int = 7) -> DataFrame:
     """ANN via hyperplane buckets: candidates share the query's bucket;
     exact cosine + rank within the bucket. Recall < 1 by design — the
     scale path (bucket equi-join instead of cross join)."""
-    dim = len(embeddings.select("embedding").first()["embedding"])
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("bucket", hyperplane_signature(F.col("v"), dim, n_planes))
+    ).withColumn("bucket", signature_udf(n_planes, seed)(F.col("v")))
     q = e.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("q"), F.col("bucket")
     )

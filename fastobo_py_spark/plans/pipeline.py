@@ -21,7 +21,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from fastobo_py_spark.operators.canonicalize import apply_xref_macros, rewrite_edges
@@ -85,8 +85,18 @@ def run_pipeline(
     )
     src = src.select("repo", "path", "commit", "lang", "content", "doc_sha")
 
-    parsed = parse_corpus(src)
+    # Metrics ride on the write actions via Observation — counting after
+    # the fact re-executed the whole macro/rewrite/CC chain (the job did
+    # ~2x the work to report on itself).
+    obs = {k: Observation(k) for k in ("clauses", "quarantine", "edges", "nodes", "done")}
+
+    # parse ONCE: both the clause and quarantine paths read this cache
+    # (without it the quarantine write re-ran the mapInPandas parse)
+    parsed = parse_corpus(src).persist()
     clauses, quarantine = split_parsed(parsed)
+    quarantine = quarantine.observe(obs["quarantine"], F.count(F.lit(1)).alias("n"))
+    quarantine.write.mode("append").parquet(os.path.join(out_dir, "quarantine"))
+
     # one pass over the corpus feeds every downstream stage; hash-partition
     # by doc_sha so every doc-keyed operation downstream (incl. the final
     # dedup, whose keys contain doc_sha) is satisfied without re-shuffling
@@ -104,13 +114,18 @@ def run_pipeline(
         edges = rewrite_edges(edges, clauses, resolution=res)
         edges = canonical_rewrite(edges, comps)
     edges = edges.dropDuplicates(["subj", "pred", "obj", "doc_sha"])
-    nodes = build_nodes(clauses)
+    edges = edges.observe(obs["edges"], F.count(F.lit(1)).alias("n"))
+    # clause observation rides the node build: its write is a guaranteed
+    # FULL scan of the clause cache (a limit-style first action — e.g. the
+    # resolution-map probe — would otherwise record a partial count)
+    nodes = build_nodes(clauses.observe(obs["clauses"], F.count(F.lit(1)).alias("n")))
+    nodes = nodes.observe(obs["nodes"], F.count(F.lit(1)).alias("n"))
 
     nodes.write.mode("append").partitionBy("idspace").parquet(os.path.join(out_dir, "nodes"))
     with_salt(edges, "subj", n_salts).write.mode("append").partitionBy("idspace", "salt").parquet(
         os.path.join(out_dir, "edges")
     )
-    quarantine.write.mode("append").parquet(os.path.join(out_dir, "quarantine"))
+    parsed.unpersist()
 
     # manifest append LAST: a crash before this line leaves the batch
     # unrecorded and it reruns idempotently (outputs keyed by doc_sha are
@@ -121,15 +136,16 @@ def run_pipeline(
         .withColumn("batch_id", F.lit(batch_id))
         .withColumn("completed_at", F.current_timestamp())
     )
+    done = done.observe(obs["done"], F.count(F.lit(1)).alias("n"))
     done.write.mode("append").parquet(_manifest_path(out_dir))
 
     metrics = {
         "batch_id": batch_id,
-        "docs_in_batch": done.count(),
-        "clause_rows": clauses.count(),
-        "quarantined_docs": quarantine.count(),
-        "edges": edges.count(),
-        "nodes": nodes.count(),
+        "docs_in_batch": obs["done"].get["n"],
+        "clause_rows": obs["clauses"].get["n"],
+        "quarantined_docs": obs["quarantine"].get["n"],
+        "edges": obs["edges"].get["n"],
+        "nodes": obs["nodes"].get["n"],
         "elapsed_sec": round(time.time() - t0, 3),
     }
     clauses.unpersist()

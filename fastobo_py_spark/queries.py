@@ -421,8 +421,11 @@ FROM per_bit GROUP BY doc_id ORDER BY doc_id
 
 
 def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    # threshold 0.4 yields a non-trivial pair set on the synthetic
+    # embeddings (59 pairs at sf0.01; 0.9 matched nothing and verified
+    # nothing about the cosine math)
     emb = load_table(spark, sf, "embeddings")
-    return D.embedding_near_dup_pairs(emb, threshold=0.9).orderBy("vec_a", "vec_b")
+    return D.embedding_near_dup_pairs(emb, threshold=0.4).orderBy("vec_a", "vec_b")
 
 
 SQL_DEDUP_EMBEDDING = """
@@ -433,8 +436,78 @@ WITH e AS (
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
 ORDER BY vec_a, vec_b
+"""
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale path: AND-OR hyperplane LSH buckets → exact-cosine verify."""
+    emb = load_table(spark, sf, "embeddings")
+    return D.embedding_near_dup_lsh(emb, threshold=0.4, n_tables=4, n_planes=4).orderBy("vec_a", "vec_b")
+
+
+def sql_dedup_embedding_lsh(dim: int = 64, n_tables: int = 4, n_planes: int = 4, seed: int = 7) -> str:
+    """DuckDB mirror of the LSH bucketing: the SAME seeded hyperplanes
+    (float64 repr round-trips exactly) as SQL literals."""
+    from fastobo_py_spark.operators.similarity import hyperplane_weights
+
+    w = hyperplane_weights(dim, n_tables * n_planes, seed)
+    def bucket_expr(t: int) -> str:
+        bits = []
+        for j in range(t * n_planes, (t + 1) * n_planes):
+            arr = ", ".join(repr(float(x)) for x in w[:, j])
+            bits.append(f"(CASE WHEN list_dot_product(v, [{arr}]) >= 0 THEN '1' ELSE '0' END)")
+        return " || ".join(bits)
+
+    tabs = " UNION ALL ".join(
+        f"SELECT vec_id, v, nrm, {t} AS t, {bucket_expr(t)} AS bucket FROM e" for t in range(n_tables)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+), tabs AS ({tabs})
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM tabs a JOIN tabs b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+ORDER BY vec_a, vec_b
+"""
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Hamming-band SimHash near-dup pairs (exact for d<=3 by pigeonhole)."""
+    docs = load_table(spark, sf, "documents")
+    out = D.simhash_hamming_pairs(docs, max_hamming=3)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# oracle verifies via ALL-PAIRS popcount (oracle scale) — identical result
+# set to the band join by the pigeonhole argument in simhash_hamming_pairs
+SQL_DEDUP_SIMHASH_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT)::BIGINT AS h FROM toks
+), bits AS (
+  SELECT doc_id, b.bit, CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS w
+  FROM hashed, (SELECT unnest(range(0, 60)) AS bit) b
+), per_bit AS (
+  SELECT doc_id, bit, sum(w) AS s FROM bits GROUP BY doc_id, bit
+), sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM per_bit GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_a, doc_b
 """
 
 
@@ -446,6 +519,42 @@ ORDER BY vec_a, vec_b
 def q_ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return S.self_topk(emb, n_queries=20, k=5).orderBy("query_id", "rank")
+
+
+def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale path ANN: bucket equi-join instead of the cross join."""
+    emb = load_table(spark, sf, "embeddings")
+    return S.lsh_bucketed_topk(emb, n_queries=20, k=5, n_planes=8).orderBy("query_id", "rank")
+
+
+def sql_ann_lsh(dim: int = 64, n_planes: int = 8, seed: int = 7) -> str:
+    from fastobo_py_spark.operators.similarity import hyperplane_weights
+
+    w = hyperplane_weights(dim, n_planes, seed)
+    bits = []
+    for j in range(n_planes):
+        arr = ", ".join(repr(float(x)) for x in w[:, j])
+        bits.append(f"(CASE WHEN list_dot_product(v, [{arr}]) >= 0 THEN '1' ELSE '0' END)")
+    bucket = " || ".join(bits)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+), sigs AS (SELECT vec_id, v, nrm, {bucket} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket FROM sigs WHERE vec_id < 20),
+scored AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id,
+         list_dot_product(s.v, q.qv) / (s.nrm * q.qnrm) AS cos
+  FROM sigs s JOIN q ON s.bucket = q.bucket AND s.vec_id <> q.query_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+ORDER BY query_id, rank
+"""
 
 
 SQL_ANN_BRUTEFORCE = """
@@ -721,8 +830,11 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "ann_bruteforce_topk": q_ann_bruteforce,
+    "ann_lsh_topk": q_ann_lsh,
     "obo_edges_by_pred": q_obo_edges_by_pred,
     "obo_canonical_edges_pato": q_obo_canonical_edges_pato,
     "obo_frame_stats": q_obo_frame_stats,
@@ -745,8 +857,11 @@ def oracle_sqls() -> dict[str, str]:
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
         "dedup_embedding": SQL_DEDUP_EMBEDDING,
+        "dedup_embedding_lsh": sql_dedup_embedding_lsh(),
         "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE,
+        "ann_lsh_topk": sql_ann_lsh(),
         "obo_edges_by_pred": sql_obo_edges_by_pred(),
         "obo_canonical_edges_pato": sql_obo_canonical_edges_pato(),
         "obo_frame_stats": sql_obo_frame_stats(),
