@@ -19,19 +19,51 @@ from pyspark.sql import functions as F
 from fastobo_py_spark.operators.idents import compact_url, decompact_prefixed
 
 
+_SCOPE_TO_PRED = [
+    ("EXACT", "hasExactSynonym"),
+    ("BROAD", "hasBroadSynonym"),
+    ("NARROW", "hasNarrowSynonym"),
+]
+
+
+def _syn_pred(scope):
+    expr = F.lit("hasRelatedSynonym")
+    for s, p in reversed(_SCOPE_TO_PRED):
+        expr = F.when(scope == s, F.lit(p)).otherwise(expr)
+    return expr
+
+
 def dump_graph(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """(doc_sha, graph_json): one OBO-graph JSON document per source doc.
 
     Node ids and edge endpoints are decompacted to OBO PURL IRIs, the
     obographs convention (reference serializes via fastobo-graphs the
-    same way).
+    same way). Node ``meta`` carries definition / scoped synonyms / xrefs
+    / deprecated per the obographs spec — the reference's ``dump_graph``
+    emits the same blocks (``src/py/mod.rs:389-422`` via fastobo-graphs);
+    ``to_json`` drops null fields so skeleton nodes stay skeletal.
     """
+    meta = F.struct(
+        F.when(F.col("definition").isNotNull(), F.struct(F.col("definition").alias("val"))).alias("definition"),
+        F.when(
+            F.size("synonyms") > 0,
+            F.transform(
+                "synonyms",
+                lambda s: F.struct(_syn_pred(s["scope"]).alias("pred"), s["text"].alias("val")),
+            ),
+        ).alias("synonyms"),
+        F.when(
+            F.size("xrefs") > 0, F.transform("xrefs", lambda x: F.struct(x.alias("val")))
+        ).alias("xrefs"),
+        F.when(F.col("obsolete"), F.lit(True)).alias("deprecated"),
+    )
     n = nodes.select(
         "doc_sha",
         F.struct(
             decompact_prefixed(F.col("id")).alias("id"),
             F.col("name").alias("lbl"),
             F.when(F.col("frame_type") == "Typedef", F.lit("PROPERTY")).otherwise(F.lit("CLASS")).alias("type"),
+            meta.alias("meta"),
         ).alias("node"),
     ).groupBy("doc_sha").agg(F.sort_array(F.collect_list("node")).alias("nodes"))
 
@@ -71,7 +103,10 @@ def load_graph(spark: SparkSession, json_df: DataFrame) -> tuple[DataFrame, Data
     """
     schema = (
         "graphs array<struct<id:string,"
-        "nodes:array<struct<id:string,lbl:string,type:string>>,"
+        "nodes:array<struct<id:string,lbl:string,type:string,"
+        "meta:struct<definition:struct<val:string>,"
+        "synonyms:array<struct<pred:string,val:string>>,"
+        "xrefs:array<struct<val:string>>,deprecated:boolean>>>,"
         "edges:array<struct<sub:string,pred:string,obj:string>>>>"
     )
     parsed = json_df.select("doc_sha", F.from_json("graph_json", schema).alias("g"))
@@ -84,6 +119,20 @@ def load_graph(spark: SparkSession, json_df: DataFrame) -> tuple[DataFrame, Data
         compact_url(F.col("n.id")).alias("id"),
         F.col("n.lbl").alias("name"),
         F.when(F.col("n.type") == "PROPERTY", F.lit("Typedef")).otherwise(F.lit("Term")).alias("frame_type"),
+        F.col("n.meta.definition.val").alias("definition"),
+        F.transform(
+            F.coalesce("n.meta.synonyms", F.array()),
+            lambda s: F.struct(
+                s["val"].alias("text"),
+                F.when(s["pred"] == "hasExactSynonym", F.lit("EXACT"))
+                .when(s["pred"] == "hasBroadSynonym", F.lit("BROAD"))
+                .when(s["pred"] == "hasNarrowSynonym", F.lit("NARROW"))
+                .otherwise(F.lit("RELATED"))
+                .alias("scope"),
+            ),
+        ).alias("synonyms"),
+        F.transform(F.coalesce("n.meta.xrefs", F.array()), lambda x: compact_url(x["val"])).alias("xrefs"),
+        F.coalesce(F.col("n.meta.deprecated"), F.lit(False)).alias("obsolete"),
     )
     edges = g.select("doc_sha", F.explode("graph.edges").alias("e")).select(
         "doc_sha",

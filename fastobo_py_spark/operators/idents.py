@@ -29,6 +29,27 @@ def ident_kind(col: Column) -> Column:
     )
 
 
+def ident_is_valid(col: Column) -> Column:
+    """Validity predicate mirroring ``fastobo.id.is_valid``
+    (``/root/reference/src/py/id.rs:65-93``: the pest ``Rule::Id`` must
+    consume the WHOLE string). Doctest contract: ``MS:1000031`` and
+    ``related_to`` and OBO PURLs are valid; ``definitely not an
+    identifier`` is not.
+
+    Shape rules (OBO 1.4 ident grammar): a URL needs a scheme and no
+    whitespace; a prefixed id needs a non-empty, colon-free, space-free
+    prefix and a non-empty space-free local part; an unprefixed id is any
+    non-empty run without whitespace (colons would make it prefixed).
+    """
+    k = ident_kind(col)
+    return (
+        F.when(col.isNull() | (col == ""), F.lit(False))
+        .when(k == "url", col.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://\S+$"))
+        .when(k == "prefixed", col.rlike(r"^[^\s:]+:\S+$"))
+        .otherwise(col.rlike(r"^\S+$"))
+    )
+
+
 def ident_prefix(col: Column) -> Column:
     """Idspace prefix of a prefixed ident, else NULL (PrefixedIdent.prefix,
     id.rs:226-228)."""

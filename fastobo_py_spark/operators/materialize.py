@@ -24,7 +24,12 @@ def build_nodes(clauses: DataFrame) -> DataFrame:
 
     Single hash agg keyed by (doc_sha, frame_id); every attribute is a
     conditional partial aggregate, so the whole thing is one shuffle.
+    Dates come out typed: ``creation_date`` stays raw for round-trips,
+    ``creation_date_us`` is the parsed epoch-microsecond column
+    (reference shapes at ``src/date.rs:14-123``).
     """
+    from fastobo_py_spark.functions.dates import parse_creation_date
+
     ent = clauses.where((F.col("frame_type") != "Header") & (F.col("frame_id") != ""))
     t = F.col("tag")
     nodes = ent.groupBy("doc_sha", F.col("frame_id").alias("id")).agg(
@@ -33,10 +38,21 @@ def build_nodes(clauses: DataFrame) -> DataFrame:
         F.max(F.when(t == "def", F.col("value_text"))).alias("definition"),
         F.coalesce(F.max(F.when(t == "is_obsolete", F.col("v1") == "true")), F.lit(False)).alias("obsolete"),
         F.sort_array(F.collect_set(F.when(t == "replaced_by", F.col("v1")))).alias("replaced_by"),
+        F.sort_array(F.collect_set(F.when(t == "consider", F.col("v1")))).alias("consider"),
         F.sort_array(F.collect_set(F.when(t == "alt_id", F.col("v1")))).alias("alt_ids"),
+        F.sort_array(
+            F.collect_list(
+                F.when(t == "synonym", F.struct(F.col("value_text").alias("text"), F.col("scope").alias("scope")))
+            )
+        ).alias("synonyms"),
+        F.sort_array(F.collect_set(F.when(t == "xref", F.col("v1")))).alias("xrefs"),
+        F.max(F.when(t == "creation_date", F.col("value_text"))).alias("creation_date"),
+        F.max(F.when(t == "created_by", F.col("v1"))).alias("created_by"),
         F.max(F.col("frame_type")).alias("frame_type"),
     )
-    return nodes.withColumn("idspace", edge_idspace(F.col("id")))
+    return nodes.withColumn("idspace", edge_idspace(F.col("id"))).withColumn(
+        "creation_date_us", F.unix_micros(parse_creation_date(F.col("creation_date")))
+    )
 
 
 def frame_dicts(clauses: DataFrame) -> DataFrame:
@@ -45,7 +61,11 @@ def frame_dicts(clauses: DataFrame) -> DataFrame:
     ent = clauses.where(F.col("frame_type") != "Header")
     per_tag = ent.groupBy("doc_sha", "frame_id", "tag").agg(
         F.sort_array(
-            F.collect_list(F.struct("clause_ix", F.coalesce("v1", "value_text").alias("val")))
+            # first non-null slot; '' fallback keeps slotless clauses (e.g.
+            # intersection_of genus rows carry only v2) in the value list
+            F.collect_list(
+                F.struct("clause_ix", F.coalesce("v1", "value_text", "v2", F.lit("")).alias("val"))
+            )
         ).alias("vals_ix")
     )
     per_tag = per_tag.withColumn("vals", F.transform("vals_ix", lambda s: s["val"])).drop("vals_ix")

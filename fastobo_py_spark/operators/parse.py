@@ -153,3 +153,34 @@ def cardinality_violations(clauses: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .where(F.col("n") > 1)
     )
+
+
+# tags the reference's cardinality validation treats as REQUIRED per frame
+# (MissingClauseError, src/error.rs:106-110: "missing 'name' clause" is its
+# own doctest); at corpus scale absence is a data-quality metric, not a
+# failure.
+REQUIRED_TAGS = ("name",)
+
+
+def missing_clause_violations(clauses: DataFrame, required: tuple[str, ...] = REQUIRED_TAGS) -> DataFrame:
+    """O13/§4: frames lacking a required single-cardinality clause —
+    (doc_sha, frame_id, frame_type, missing_tag).
+
+    One aggregation per frame: collect the frame's tag set, then explode
+    the (tiny, constant) required list against it — no join, no second
+    scan of the clause table.
+    """
+    per_frame = (
+        clauses.where((F.col("frame_type") != "Header") & (F.col("frame_id") != ""))
+        .groupBy("doc_sha", "frame_id")
+        .agg(F.collect_set("tag").alias("tags"), F.max("frame_type").alias("frame_type"))
+    )
+    req = F.array(*[F.lit(t) for t in required])
+    return (
+        per_frame.select(
+            "doc_sha",
+            "frame_id",
+            "frame_type",
+            F.explode(F.array_except(req, F.col("tags"))).alias("missing_tag"),
+        )
+    )

@@ -1058,3 +1058,343 @@ def oracle_sqls() -> dict[str, str]:  # noqa: F811
     out = _BASE3()
     out["obo_hub_degrees"] = sql_obo_hub_degrees()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: oracle coverage for the formerly pytest-only operators
+# (O12 frame dicts, O19 resume, graph-JSON meta round-trip, typed dates,
+# missing-clause audit, ident validity).
+# ---------------------------------------------------------------------------
+
+
+def q_obo_creation_dates(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed dates on the node table: per creation_date shape, count and
+    epoch-µs extrema (functions/dates.py applied by build_nodes)."""
+    from fastobo_py_spark.functions.dates import creation_date_kind
+    from fastobo_py_spark.operators.materialize import build_nodes
+
+    nodes = build_nodes(_clauses(spark)).where(F.col("creation_date").isNotNull())
+    return (
+        nodes.groupBy(creation_date_kind(F.col("creation_date")).alias("kind"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("creation_date_us").alias("min_us"),
+            F.max("creation_date_us").alias("max_us"),
+        )
+        .orderBy("kind")
+    )
+
+
+def sql_obo_creation_dates() -> str:
+    import re as _re
+    from datetime import datetime, timezone
+
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    clauses, _ = oracle.parse_rows(generate_corpus(**_CORPUS_KW))
+    per_frame: dict = {}
+    for c in clauses:
+        if c[3] != "Header" and c[3 + 1] and c[3 + 4] == "creation_date":
+            per_frame[(c[0], c[3 + 1])] = c[3 + 7]  # value_text; max() of 1 value per frame
+    agg: dict = {}
+    for raw in per_frame.values():
+        if _re.match(r"^\d{4}-\d{2}-\d{2}$", raw):
+            kind = "date"
+        elif _re.match(r"^\d{4}-\d{2}-\d{2}[Tt ]\d{2}:\d{2}:\d{2}(\.\d+)?$", raw):
+            kind = "datetime"
+        else:
+            kind = "datetime_tz"
+        dt = datetime.fromisoformat(raw)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)  # session tz is UTC
+        us = int(dt.timestamp()) * 1_000_000 + dt.microsecond
+        n, lo, hi = agg.get(kind, (0, us, us))
+        agg[kind] = (n + 1, min(lo, us), max(hi, us))
+    rows = [(k, n, lo, hi) for k, (n, lo, hi) in sorted(agg.items())]
+    return _values_sql(rows, ["kind", "n", "min_us", "max_us"])
+
+
+def q_obo_frame_dicts(spark: SparkSession, sf: str) -> DataFrame:
+    """O12: the dict-of-lists aggregation profiled per idspace —
+    (idspace, n_frames, sum of distinct tags, sum of values)."""
+    from fastobo_py_spark.operators.idents import edge_idspace
+    from fastobo_py_spark.operators.materialize import frame_dicts
+
+    fd = frame_dicts(_clauses(spark).where(F.col("frame_id") != ""))
+    n_vals = F.aggregate(F.map_values("clauses"), F.lit(0), lambda acc, v: acc + F.size(v))
+    return (
+        fd.select(edge_idspace(F.col("frame_id")).alias("idspace"), F.size("clauses").alias("n_tags"), n_vals.alias("n_vals"))
+        .groupBy("idspace")
+        .agg(F.count("*").alias("n_frames"), F.sum("n_tags").alias("sum_tags"), F.sum("n_vals").alias("sum_vals"))
+        .orderBy("idspace")
+    )
+
+
+def sql_obo_frame_dicts() -> str:
+    from collections import defaultdict
+
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    clauses, _ = oracle.parse_rows(generate_corpus(**_CORPUS_KW))
+    frames: dict = defaultdict(lambda: defaultdict(int))
+    for c in clauses:
+        if c[3] == "Header" or not c[3 + 1]:
+            continue
+        frames[(c[0], c[3 + 1])][c[3 + 4]] += 1
+    agg: dict = defaultdict(lambda: [0, 0, 0])
+    for (sha, fid), tags in frames.items():
+        if oracle._URL_RE.match(fid):
+            space = "URL"
+        elif ":" in fid:
+            space = fid.split(":", 1)[0]
+        else:
+            space = "UNPREFIXED"
+        a = agg[space]
+        a[0] += 1
+        a[1] += len(tags)
+        a[2] += sum(tags.values())
+    rows = [(s, a[0], a[1], a[2]) for s, a in sorted(agg.items())]
+    return _values_sql(rows, ["idspace", "n_frames", "sum_tags", "sum_vals"])
+
+
+def q_obo_missing_clauses(spark: SparkSession, sf: str) -> DataFrame:
+    """Missing-clause cardinality audit (reference raises
+    MissingClauseError, src/error.rs:106-110; here a metrics view):
+    frames lacking name/def, counted per (frame_type, missing_tag)."""
+    from fastobo_py_spark.operators.parse import missing_clause_violations
+
+    v = missing_clause_violations(_clauses(spark), required=("name", "def"))
+    return v.groupBy("frame_type", "missing_tag").agg(F.count("*").alias("n_frames")).orderBy(
+        "frame_type", "missing_tag"
+    )
+
+
+def sql_obo_missing_clauses() -> str:
+    from collections import defaultdict
+
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    clauses, _ = oracle.parse_rows(generate_corpus(**_CORPUS_KW))
+    frames: dict = defaultdict(set)
+    ftypes: dict = {}
+    for c in clauses:
+        if c[3] == "Header" or not c[3 + 1]:
+            continue
+        frames[(c[0], c[3 + 1])].add(c[3 + 4])
+        ftypes[(c[0], c[3 + 1])] = c[3]
+    agg: dict = defaultdict(int)
+    for key, tags in frames.items():
+        for req in ("name", "def"):
+            if req not in tags:
+                agg[(ftypes[key], req)] += 1
+    rows = [(ft, tag, n) for (ft, tag), n in sorted(agg.items())]
+    return _values_sql(rows, ["frame_type", "missing_tag", "n_frames"])
+
+
+_GOLDEN_IDENTS = [
+    "MS:1000031",
+    "https://purl.obolibrary.org/obo/MS_1000031",
+    "related_to",
+    "definitely not an identifier",
+]
+
+
+def q_obo_ident_validity(spark: SparkSession, sf: str) -> DataFrame:
+    """fastobo.id.is_valid parity (id.rs:65-93): validity × kind counts
+    over every edge object in the corpus plus the doctest golden idents."""
+    from fastobo_py_spark.operators.idents import ident_is_valid, ident_kind
+    from fastobo_py_spark.operators.triples import extract_edges
+
+    objs = (
+        extract_edges(_clauses(spark))
+        .dropDuplicates(["subj", "pred", "obj", "doc_sha"])
+        .select(F.col("obj").alias("ident"))
+    )
+    golden = spark.createDataFrame([(s,) for s in _GOLDEN_IDENTS], "ident string")
+    idents = objs.unionByName(golden)
+    return (
+        idents.groupBy(ident_kind(F.col("ident")).alias("kind"), ident_is_valid(F.col("ident")).alias("valid"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("kind", "valid")
+    )
+
+
+def sql_obo_ident_validity() -> str:
+    import re as _re
+    from collections import defaultdict
+
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    edges = oracle.build_edges(generate_corpus(**_CORPUS_KW), canonicalize=False, apply_macros=False)
+    idents = [o for _, _, o, _, _ in edges] + _GOLDEN_IDENTS
+    agg: dict = defaultdict(int)
+    for s in idents:
+        if oracle._URL_RE.match(s):
+            kind = "url"
+            valid = bool(_re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://\S+$", s))
+        elif ":" in s:
+            kind = "prefixed"
+            valid = bool(_re.match(r"^[^\s:]+:\S+$", s))
+        else:
+            kind = "unprefixed"
+            valid = bool(s) and bool(_re.match(r"^\S+$", s))
+        agg[(kind, valid)] += 1
+    rows = [(k, v, n) for (k, v), n in sorted(agg.items())]
+    return _values_sql(rows, ["kind", "valid", "n"])
+
+
+def q_obo_graph_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """dump_graph → load_graph round-trip with node meta: one summary row
+    proving definition/synonyms/xrefs/deprecated survive the JSON hop
+    (reference parity: fastobo.dump_graph/load_graph, src/py/mod.rs:333-422)."""
+    from fastobo_py_spark.operators.graphjson import dump_graph, load_graph
+    from fastobo_py_spark.operators.materialize import build_nodes
+    from fastobo_py_spark.operators.triples import extract_edges
+
+    cl = _clauses(spark)
+    nodes = build_nodes(cl)
+    edges = (
+        extract_edges(cl)
+        .where(~F.col("pred").startswith("intersection_of:"))
+        .dropDuplicates(["subj", "pred", "obj", "doc_sha"])
+    )
+    dumped = dump_graph(nodes, edges)
+    n2, e2 = load_graph(spark, dumped)
+    nagg = n2.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.when(F.col("definition").isNotNull(), 1).otherwise(0)).alias("n_defs"),
+        F.sum(F.size("synonyms")).alias("n_synonyms"),
+        F.sum(F.size("xrefs")).alias("n_xrefs"),
+        F.sum(F.when(F.col("obsolete"), 1).otherwise(0)).alias("n_deprecated"),
+    )
+    eagg = e2.agg(F.count("*").alias("n_edges"), F.countDistinct("pred").alias("n_preds"))
+    return nagg.crossJoin(eagg)
+
+
+def sql_obo_graph_roundtrip() -> str:
+    import re as _re
+
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    rows = generate_corpus(**_CORPUS_KW)
+    clauses, _ = oracle.parse_rows(rows)
+    frames: dict = {}
+    for c in clauses:
+        if c[3] == "Header" or not c[3 + 1]:
+            continue
+        f = frames.setdefault((c[0], c[3 + 1]), {"def": 0, "syn": 0, "xref": 0, "obs": False})
+        tag = c[3 + 4]
+        if tag == "def" and c[3 + 7] is not None:
+            f["def"] = 1
+        elif tag == "synonym":
+            f["syn"] += 1
+        elif tag == "xref" and c[3 + 5]:
+            f["xref"] += 1
+        elif tag == "is_obsolete" and c[3 + 5] == "true":
+            f["obs"] = True
+    n_nodes = len(frames)
+    n_defs = sum(f["def"] for f in frames.values())
+    n_syn = sum(f["syn"] for f in frames.values())
+    n_xref = sum(f["xref"] for f in frames.values())
+    n_dep = sum(1 for f in frames.values() if f["obs"])
+
+    purl = _re.compile(r"^http://purl\.obolibrary\.org/obo/([A-Za-z0-9]+)_([A-Za-z0-9]+)$")
+
+    def compact(x: str) -> str:
+        m = purl.match(x)
+        return f"{m.group(1)}:{m.group(2)}" if m else x
+
+    edges = oracle.build_edges(rows, canonicalize=False, apply_macros=False)
+    kept = {
+        (compact(s), compact(p) if p != "is_a" else p, compact(o), sha)
+        for s, p, o, _, sha in edges
+        if not p.startswith("intersection_of:")
+    }
+    n_edges = len(kept)
+    n_preds = len({p for _, p, _, _ in kept})
+    return _values_sql(
+        [(n_nodes, n_defs, n_syn, n_xref, n_dep, n_edges, n_preds)],
+        ["n_nodes", "n_defs", "n_synonyms", "n_xrefs", "n_deprecated", "n_edges", "n_preds"],
+    )
+
+
+def q_obo_pipeline_resume(spark: SparkSession, sf: str) -> DataFrame:
+    """O19: checkpointed-lineage resume as an oracle-checked behavior —
+    run the full pipeline on half the corpus (deterministic md5(path)
+    split), restart over the WHOLE corpus (manifest anti-join must keep
+    only the remainder), restart once more (no-op). Edge totals across
+    batches must equal a single-shot run — per-partition lineage loses
+    and duplicates nothing."""
+    import shutil
+    import tempfile
+
+    from fastobo_py_spark.plans.pipeline import read_manifest, run_pipeline
+
+    corpus = _corpus_df(spark)
+    out = tempfile.mkdtemp(prefix="kg_resume_q_")
+    try:
+        first = corpus.where(F.substring(F.md5(F.col("path")), 1, 1) < "8")
+        m1 = run_pipeline(spark, first, out)
+        m2 = run_pipeline(spark, corpus, out)
+        m3 = run_pipeline(spark, corpus, out)
+        manifest_docs = read_manifest(spark, out).select("doc_sha").distinct().count()
+        rows = [
+            ("batch1_docs", m1["docs_in_batch"]),
+            ("batch2_docs", m2["docs_in_batch"]),
+            ("batch3_docs", m3["docs_in_batch"]),
+            ("edges_total", m1["edges"] + m2["edges"] + m3["edges"]),
+            ("manifest_docs", manifest_docs),
+        ]
+        return spark.createDataFrame(rows, "metric string, value bigint").orderBy("metric")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def sql_obo_pipeline_resume() -> str:
+    import hashlib as _hl
+
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    rows = generate_corpus(**_CORPUS_KW)
+    n1 = sum(1 for r in rows if _hl.md5(r["path"].encode()).hexdigest()[0] < "8")
+    n2 = len(rows) - n1
+    edges_total = len(oracle.build_edges(rows, canonicalize=True))
+    manifest_docs = len({_hl.sha256(r["content"].encode()).hexdigest() for r in rows})
+    out = [
+        ("batch1_docs", n1),
+        ("batch2_docs", n2),
+        ("batch3_docs", 0),
+        ("edges_total", edges_total),
+        ("manifest_docs", manifest_docs),
+    ]
+    return _values_sql(sorted(out), ["metric", "value"])
+
+
+QUERIES.update(
+    {
+        "obo_creation_dates": q_obo_creation_dates,
+        "obo_frame_dicts": q_obo_frame_dicts,
+        "obo_missing_clauses": q_obo_missing_clauses,
+        "obo_ident_validity": q_obo_ident_validity,
+        "obo_graph_roundtrip": q_obo_graph_roundtrip,
+        "obo_pipeline_resume": q_obo_pipeline_resume,
+    }
+)
+_BASE4 = oracle_sqls
+
+
+def oracle_sqls() -> dict[str, str]:  # noqa: F811
+    out = _BASE4()
+    out["obo_creation_dates"] = sql_obo_creation_dates()
+    out["obo_frame_dicts"] = sql_obo_frame_dicts()
+    out["obo_missing_clauses"] = sql_obo_missing_clauses()
+    out["obo_ident_validity"] = sql_obo_ident_validity()
+    out["obo_graph_roundtrip"] = sql_obo_graph_roundtrip()
+    out["obo_pipeline_resume"] = sql_obo_pipeline_resume()
+    return out

@@ -133,7 +133,18 @@ NODE_SCHEMA = T.StructType(
         T.StructField("definition", T.StringType()),
         T.StructField("obsolete", T.BooleanType()),
         T.StructField("replaced_by", T.ArrayType(T.StringType())),
+        T.StructField("consider", T.ArrayType(T.StringType())),
         T.StructField("alt_ids", T.ArrayType(T.StringType())),
+        T.StructField(
+            "synonyms",
+            T.ArrayType(
+                T.StructType([T.StructField("text", T.StringType()), T.StructField("scope", T.StringType())])
+            ),
+        ),
+        T.StructField("xrefs", T.ArrayType(T.StringType())),
+        T.StructField("creation_date", T.StringType()),   # raw text (round-trip)
+        T.StructField("created_by", T.StringType()),
         T.StructField("idspace", T.StringType()),
+        T.StructField("creation_date_us", T.LongType()),  # typed epoch µs
     ]
 )

@@ -153,6 +153,18 @@ def make_go_like(doc_ix: int, n_terms: int = 40) -> str:
         if t % 7 == 3 and t >= 4:
             out.append(f"intersection_of: {p}:{doc_ix:03d}{t - 2:04d} ! genus")
             out.append(f"intersection_of: part_of {p}:{doc_ix:03d}{t - 1:04d} ! differentia")
+        if t % 5 == 2:
+            # all three creation_date shapes the reference accepts
+            # (src/date.rs:14-123): plain date, naive datetime, zoned
+            shape = t % 15
+            day = t % 27 + 1
+            if shape == 2:
+                out.append(f"creation_date: 2021-03-{day:02d}")
+            elif shape == 7:
+                out.append(f"creation_date: 2021-03-{day:02d}T12:{t % 60:02d}:05")
+            else:
+                out.append(f"creation_date: 2021-03-{day:02d}T08:{t % 60:02d}:30+0{doc_ix % 3 + 1}:00")
+            out.append("created_by: synth-curator")
         if t % 10 == 8:
             out.append("is_obsolete: true")
             if t % 20 == 8:
