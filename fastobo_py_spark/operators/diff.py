@@ -32,11 +32,27 @@ def frame_change_summary(old_clauses: DataFrame, new_clauses: DataFrame) -> Data
     """
 
     def frame_hashes(clauses: DataFrame) -> DataFrame:
+        # two-level: hash every clause row over ALL payload slots, count
+        # multiplicity, then xor (row-hash, n) pairs — a frame gaining or
+        # losing a PAIR of identical clause lines can no longer cancel out
+        # of a plain xor, and scope/xref-only edits are visible.
         ent = clauses.where((F.col("frame_type") != "Header") & (F.col("frame_id") != ""))
-        return ent.groupBy(F.col("frame_id").alias("id")).agg(
-            F.expr("bit_xor(xxhash64(tag, coalesce(v1,''), coalesce(v2,''), coalesce(value_text,'')))").alias(
-                "content_hash"
-            )
+        row_hash = F.xxhash64(
+            "tag",
+            F.coalesce("v1", F.lit("")),
+            F.coalesce("v2", F.lit("")),
+            F.coalesce("value_text", F.lit("")),
+            F.coalesce("scope", F.lit("")),
+            F.coalesce("datatype", F.lit("")),
+            F.coalesce("comment", F.lit("")),
+            F.coalesce(F.to_json("xrefs"), F.lit("")),
+            F.coalesce(F.to_json("qualifiers"), F.lit("")),
+        )
+        per_clause = ent.groupBy(F.col("frame_id").alias("id"), row_hash.alias("rh")).agg(
+            F.count("*").alias("n")
+        )
+        return per_clause.groupBy("id").agg(
+            F.expr("bit_xor(xxhash64(rh, n))").alias("content_hash")
         )
 
     o = frame_hashes(old_clauses).withColumnRenamed("content_hash", "old_hash")

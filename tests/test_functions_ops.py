@@ -193,3 +193,62 @@ def test_graph_json_roundtrip(spark, clauses):
 
     doc = json.loads(gj.collect()[0]["graph_json"])
     assert "graphs" in doc and "nodes" in doc["graphs"][0] and "edges" in doc["graphs"][0]
+
+
+def test_frame_hash_duplicate_pair_not_cancelled(spark, clauses):
+    """A frame losing a PAIR of identical clause lines must read as
+    modified — a plain xor of row hashes cancels duplicates."""
+    import pyspark.sql.types as T
+
+    from fastobo_py_spark.obo.parser import CLAUSE_FIELDS
+    from fastobo_py_spark.operators.diff import frame_change_summary
+
+    schema = T.StructType(
+        [T.StructField("doc_sha", T.StringType())]
+        + [clauses.schema[f] for f in CLAUSE_FIELDS]
+    )
+
+    def rows(n_dup):
+        base = {f: None for f in CLAUSE_FIELDS}
+        out = []
+        for i in range(1 + n_dup):
+            r = dict(base, frame_type="Term", frame_id="X:1", frame_ix=0, clause_ix=i)
+            r["tag"] = "id" if i == 0 else "subset"
+            r["v1"] = "X:1" if i == 0 else "dup_subset"
+            out.append(("sha" + "0" * 61,) + tuple(r[f] for f in CLAUSE_FIELDS))
+        return spark.createDataFrame(out, schema)
+
+    old = rows(n_dup=2)   # two identical 'subset: dup_subset' lines
+    new = rows(n_dup=0)   # both gone
+    ch = {r["id"]: r["change"] for r in frame_change_summary(old, new).collect()}
+    assert ch["X:1"] == "modified"
+
+
+def test_missing_clause_violations(spark, clauses):
+    from fastobo_py_spark.operators.parse import missing_clause_violations
+
+    v = missing_clause_violations(clauses, required=("name", "def"))
+    rows = v.collect()
+    assert all(r["missing_tag"] in ("name", "def") for r in rows)
+    # pato-like terms carry no def: violations must exist and name never missing
+    assert any(r["missing_tag"] == "def" for r in rows)
+    assert not any(r["missing_tag"] == "name" for r in rows)
+
+
+def test_ident_is_valid(spark):
+    from pyspark.sql import functions as F
+
+    from fastobo_py_spark.operators.idents import ident_is_valid
+
+    cases = [
+        ("MS:1000031", True),
+        ("https://purl.obolibrary.org/obo/MS_1000031", True),
+        ("related_to", True),
+        ("definitely not an identifier", False),
+        ("", False),
+        ("a b:c", False),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "ident string")
+    got = {r["ident"]: r["ok"] for r in df.select("ident", ident_is_valid(F.col("ident")).alias("ok")).collect()}
+    for s, want in cases:
+        assert got[s] is want, s
