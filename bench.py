@@ -41,15 +41,63 @@ HEADLINE = [
 ]
 
 
+_EDGE_TAGS = [
+    "is_a", "relationship", "intersection_of", "union_of", "equivalent_to",
+    "disjoint_from", "xref", "alt_id", "replaced_by",
+]
+
+
+def _timed_kg_flow(spark, corpus, n_files: int) -> dict:
+    """The benchmark KG dataflow with per-stage timing.
+
+    Stage 'parse': mapInPandas parse → narrow edge-tag projection →
+    one doc_sha hash-partition shuffle → cache fill (the corpus-scan-
+    bound fraction that dominates at real scale).
+    Stage 'graph': the fully-distributed canonical edge chain
+    (plans/pipeline.canonical_edges, strategy=shuffle_hash — per-doc
+    applyInPandas resolution/CC, co-partitioned shuffle-hash dimension
+    joins, shuffle-free final dedup). Exactly TWO driver job submissions
+    in the timed region; nothing else is serial.
+    """
+    from pyspark.sql import functions as F
+
+    from fastobo_py_spark.operators.parse import parse_corpus, split_parsed
+    from fastobo_py_spark.plans.pipeline import canonical_edges
+
+    t0 = time.time()
+    clauses, _ = split_parsed(parse_corpus(corpus))
+    # cache exactly what the edge job consumes: narrow columns, and only
+    # the edge/alias/macro tag rows (name/def rows feed the node path,
+    # not this chain); hash-partition by doc_sha so every doc-keyed join
+    # and the final dedup need no further exchange of the edge table
+    clauses = (
+        clauses.where((F.col("frame_type") == "Header") | F.col("tag").isin(_EDGE_TAGS))
+        .select("doc_sha", "frame_type", "frame_id", "frame_ix", "clause_ix", "tag", "v1", "v2", "value_text")
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_sha")
+        .persist()
+    )
+    clauses.count()
+    t_parse = time.time() - t0
+
+    t1 = time.time()
+    e = canonical_edges(clauses, strategy="shuffle_hash")
+    n_edges = e.count()
+    t_graph = time.time() - t1
+
+    dt = time.time() - t0
+    clauses.unpersist()
+    return {
+        "files_per_sec": n_files / dt,
+        "n_edges": n_edges,
+        "t_parse": round(t_parse, 3),
+        "t_graph": round(t_graph, 3),
+        "t_total": round(dt, 3),
+    }
+
+
 def _obo_pipeline_files_per_sec(spark, n_obo: int, n_noise: int, cpus: int | None = None, doc_scale: int = 1) -> tuple[float, int]:
     """Time the full KG dataflow (parse → triples → macros → canonicalize →
     CC → dedup) to completion; returns (files_per_sec, n_edges)."""
-    from pyspark.sql import functions as F
-
-    from fastobo_py_spark.operators.canonicalize import apply_xref_macros, rewrite_edges
-    from fastobo_py_spark.operators.components import canonical_rewrite, equivalence_components
-    from fastobo_py_spark.operators.parse import parse_corpus, split_parsed
-    from fastobo_py_spark.operators.triples import extract_edges
     from fastobo_py_spark.sources.corpus import corpus_df
 
     n_files = n_obo + n_noise
@@ -57,40 +105,9 @@ def _obo_pipeline_files_per_sec(spark, n_obo: int, n_noise: int, cpus: int | Non
     corpus = corpus_df(spark, n_obo=n_obo, n_noise=n_noise, n_broken=2, partitions=cpus * 2, doc_scale=doc_scale)
     corpus = corpus.persist()
     corpus.count()  # materialize input outside the timed region
-    from fastobo_py_spark.operators.canonicalize import resolution_map
-    from fastobo_py_spark.operators.components import equivalence_components_from_clauses
-
-    t0 = time.time()
-    clauses, _ = split_parsed(parse_corpus(corpus))
-    from pyspark.sql import functions as _F
-    _EDGE_TAGS = [
-        "is_a", "relationship", "intersection_of", "union_of", "equivalent_to",
-        "disjoint_from", "xref", "alt_id", "replaced_by",
-    ]
-    # cache exactly what the edge job consumes: narrow columns, and only
-    # the edge/alias/macro tag rows (name/def rows feed the node path,
-    # not this chain) — the chain re-scans the cache, so bytes matter
-    # hash-partition by doc_sha: every doc-keyed operation downstream
-    # (incl. the final dedup whose keys contain doc_sha) is then satisfied
-    # without another shuffle — one narrow clause shuffle replaces the
-    # 14M-row edge shuffle (measured 40% faster at local[16])
-    clauses = (
-        clauses.where((_F.col("frame_type") == "Header") | _F.col("tag").isin(_EDGE_TAGS))
-        .select("doc_sha", "frame_type", "frame_id", "frame_ix", "clause_ix", "tag", "v1", "v2", "value_text")
-        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_sha")
-        .persist()
-    )
-    res = resolution_map(clauses)
-    comps = equivalence_components_from_clauses(clauses, resolution=res)
-    e = extract_edges(clauses)
-    e = apply_xref_macros(e, clauses)
-    e = rewrite_edges(e, clauses, resolution=res)
-    e = canonical_rewrite(e, comps).dropDuplicates(["subj", "pred", "obj", "doc_sha"])
-    n_edges = e.count()
-    dt = time.time() - t0
-    clauses.unpersist()
+    out = _timed_kg_flow(spark, corpus, n_files)
     corpus.unpersist()
-    return n_files / dt, n_edges
+    return out["files_per_sec"], out["n_edges"]
 
 
 def run_bench() -> dict:
@@ -125,56 +142,11 @@ def run_bench() -> dict:
     return result
 
 
-def _pipeline_from_parquet(spark, corpus_dir: str, n_files: int) -> tuple[float, int]:
+def _pipeline_from_parquet(spark, corpus_dir: str, n_files: int) -> dict:
     """Timed pipeline over an on-disk corpus (the realistic shape: a table
     scan, not a driver-materialized DataFrame)."""
-    import time as _t
-
-    from fastobo_py_spark.operators.canonicalize import apply_xref_macros, rewrite_edges
-    from fastobo_py_spark.operators.components import canonical_rewrite, equivalence_components
-    from fastobo_py_spark.operators.parse import parse_corpus, split_parsed
-    from fastobo_py_spark.operators.triples import extract_edges
-
-    from fastobo_py_spark.operators.canonicalize import resolution_map
-    from fastobo_py_spark.operators.components import equivalence_components_from_clauses
-
     corpus = spark.read.parquet(corpus_dir)
-    t0 = _t.time()
-    clauses, _ = split_parsed(parse_corpus(corpus))
-    # persist only the columns the KG path reads: caching the nested
-    # xref/qualifier arrays costs ~2x the narrow projection and no
-    # downstream edge operator touches them
-    from pyspark.sql import functions as _F
-    _EDGE_TAGS = [
-        "is_a", "relationship", "intersection_of", "union_of", "equivalent_to",
-        "disjoint_from", "xref", "alt_id", "replaced_by",
-    ]
-    # cache exactly what the edge job consumes: narrow columns, and only
-    # the edge/alias/macro tag rows (name/def rows feed the node path,
-    # not this chain) — the chain re-scans the cache, so bytes matter
-    # hash-partition by doc_sha: every doc-keyed operation downstream
-    # (incl. the final dedup whose keys contain doc_sha) is then satisfied
-    # without another shuffle — one narrow clause shuffle replaces the
-    # 14M-row edge shuffle (measured 40% faster at local[16])
-    clauses = (
-        clauses.where((_F.col("frame_type") == "Header") | _F.col("tag").isin(_EDGE_TAGS))
-        .select("doc_sha", "frame_type", "frame_id", "frame_ix", "clause_ix", "tag", "v1", "v2", "value_text")
-        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_sha")
-        .persist()
-    )
-    # CC runs on the SMALL equivalence subset of clause rows; the full
-    # edge chain then evaluates exactly once, unpersisted — no 14M-row
-    # cache write, no double evaluation
-    res = resolution_map(clauses)
-    comps = equivalence_components_from_clauses(clauses, resolution=res)
-    e = extract_edges(clauses)
-    e = apply_xref_macros(e, clauses)
-    e = rewrite_edges(e, clauses, resolution=res)
-    ee = canonical_rewrite(e, comps).dropDuplicates(["subj", "pred", "obj", "doc_sha"])
-    n_edges = ee.count()
-    dt = _t.time() - t0
-    clauses.unpersist()
-    return n_files / dt, n_edges
+    return _timed_kg_flow(spark, corpus, n_files)
 
 
 def run_scaling() -> dict:
@@ -204,6 +176,7 @@ def run_scaling() -> dict:
         reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
         # alternate levels and keep the best rep per level: single-machine
         # runs see ±30% interference noise; best-of-k isolates capacity
+        stage_best: dict = {}
         for rep in range(reps):
             for n in (n_small, 4 * n_small):
                 spark = get_spark(
@@ -218,16 +191,25 @@ def run_scaling() -> dict:
                 )
                 if rep == 0:
                     _obo_pipeline_files_per_sec(spark, 40, 20, cpus=n)  # warm workers
-                fps, _ = _pipeline_from_parquet(spark, corpus_dir, n_files)
+                r = _pipeline_from_parquet(spark, corpus_dir, n_files)
                 key = f"files_per_sec_local{n}"
-                out[key] = max(out.get(key, 0.0), round(fps, 2))
+                if r["files_per_sec"] > out.get(key, 0.0):
+                    out[key] = round(r["files_per_sec"], 2)
+                    stage_best[n] = r
                 spark.stop()
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
+    hi, lo = stage_best[4 * n_small], stage_best[n_small]
     speedup = out[f"files_per_sec_local{4 * n_small}"] / out[f"files_per_sec_local{n_small}"]
     out["n_vs_4n"] = f"local[{n_small}] vs local[{4 * n_small}]"
     out["speedup_n_to_4n"] = round(speedup, 3)
     out["scaling_efficiency"] = round(speedup / 4.0, 3)
+    out["stages"] = {
+        "parse_sec": {"n": lo["t_parse"], "4n": hi["t_parse"],
+                      "efficiency": round(lo["t_parse"] / hi["t_parse"] / 4.0, 3)},
+        "graph_sec": {"n": lo["t_graph"], "4n": hi["t_graph"],
+                      "efficiency": round(lo["t_graph"] / hi["t_graph"] / 4.0, 3)},
+    }
     out["corpus"] = {"n_obo": n_obo, "n_noise": n_noise, "doc_scale": doc_scale}
     return out
 

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fastobo_py_spark.operators.hints import gated_broadcast, known_rows
-from fastobo_py_spark.operators.idents import ident_prefix
+from fastobo_py_spark.operators.idents import edge_idspace, ident_prefix
 
 
 def alias_map(clauses: DataFrame) -> DataFrame:
@@ -55,6 +55,58 @@ def replacement_map(clauses: DataFrame) -> DataFrame:
     return w
 
 
+def _compose_resolution_pandas(both, max_hops: int):
+    """Compose alias+replacement chains in pandas: rows (doc_sha, old,
+    new, k) with k=0 alias / k=1 replaced_by → (doc_sha, old, new).
+
+    Shared by the driver-side path (whole map at once) and the
+    per-document ``applyInPandas`` kernel (one doc per call) — identical
+    semantics by construction: aliases win when both are declared, repl
+    keys enter at identity, every entry receives exactly ``max_hops``
+    replacement applications, identity entries dropped.
+    """
+    import pandas as pd
+
+    a = both[both["k"] == 0][["doc_sha", "old", "new"]]
+    r = both[both["k"] == 1][["doc_sha", "old", "new"]]
+    ident = r[["doc_sha", "old"]].copy()
+    ident["new"] = ident["old"]
+    base = pd.concat([a, ident], ignore_index=True).drop_duplicates(["doc_sha", "old"], keep="first")
+    lut = r.rename(columns={"old": "__k", "new": "__v"})
+    for _ in range(max_hops):
+        base = base.merge(lut, how="left", left_on=["doc_sha", "new"], right_on=["doc_sha", "__k"])
+        base["new"] = base["__v"].fillna(base["new"])
+        base = base.drop(columns=["__k", "__v"])
+    return base[base["old"] != base["new"]][["doc_sha", "old", "new"]]
+
+
+def _alias_repl_union(clauses: DataFrame) -> DataFrame:
+    aliases = alias_map(clauses)
+    repl = replacement_map(clauses)
+    return aliases.select(
+        F.col("alias").alias("old"), F.col("canonical").alias("new"), "doc_sha", F.lit(0).alias("k")
+    ).unionByName(
+        repl.select(
+            F.col("obsolete_id").alias("old"), F.col("replacement").alias("new"), "doc_sha", F.lit(1).alias("k")
+        )
+    )
+
+
+def resolution_map_distributed(clauses: DataFrame, max_hops: int = 3) -> DataFrame:
+    """Fully distributed resolution map: alias/replacement chains are
+    DOCUMENT-LOCAL (each OboDoc resolves independently), so the chain
+    composition shards perfectly by doc_sha — one ``applyInPandas`` group
+    per document, no driver collect, no broadcast, nothing bounded by one
+    machine. This is the 10^12-file path; :func:`resolution_map` keeps
+    the scale-adaptive driver shortcut for interactive/small corpora.
+    """
+    both = _alias_repl_union(clauses)
+    return both.groupBy("doc_sha").applyInPandas(
+        lambda pdf: _compose_resolution_pandas(pdf, max_hops),
+        "doc_sha string, old string, new string",
+    )
+
+
 def resolution_map(clauses: DataFrame, max_hops: int = 3, driver_threshold: int = 5_000_000) -> DataFrame:
     """Compose alias + replacement chains into ONE lookup map
     (doc_sha, old, new).
@@ -68,64 +120,19 @@ def resolution_map(clauses: DataFrame, max_hops: int = 3, driver_threshold: int 
     times. Semantics (alias first, then ``max_hops`` replacement
     applications) match the sequential reference reading and oracle.py.
     """
-    aliases = alias_map(clauses)
-    repl = replacement_map(clauses)
     # ONE driver job fetches both maps (limit guards the driver: if the
-    # fetch hits the cap, fall through to the distributed composition)
-    import pandas as pd
-
-    both = (
-        aliases.select(F.col("alias").alias("old"), F.col("canonical").alias("new"), "doc_sha", F.lit(0).alias("k"))
-        .unionByName(
-            repl.select(
-                F.col("obsolete_id").alias("old"), F.col("replacement").alias("new"), "doc_sha", F.lit(1).alias("k")
-            )
-        )
-        .limit(driver_threshold + 1)
-        .toPandas()
-    )
+    # fetch hits the cap, fall through to the per-document distributed
+    # composition)
+    both = _alias_repl_union(clauses).limit(driver_threshold + 1).toPandas()
     if len(both) <= driver_threshold:
-        a = both[both["k"] == 0][["doc_sha", "old", "new"]]
-        r = both[both["k"] == 1][["doc_sha", "old", "new"]]
-        # repl keys enter at identity so every entry receives exactly
-        # max_hops applications; alias wins when both are declared.
-        ident = r[["doc_sha", "old"]].copy()
-        ident["new"] = ident["old"]
-        base = pd.concat([a, ident], ignore_index=True).drop_duplicates(["doc_sha", "old"], keep="first")
-        lut = r.rename(columns={"old": "__k", "new": "__v"})
-        for _ in range(max_hops):
-            base = base.merge(lut, how="left", left_on=["doc_sha", "new"], right_on=["doc_sha", "__k"])
-            base["new"] = base["__v"].fillna(base["new"])
-            base = base.drop(columns=["__k", "__v"])
-        base = base[base["old"] != base["new"]]
+        base = _compose_resolution_pandas(both, max_hops)
         spark = clauses.sparkSession
         if base.empty:
             return known_rows(spark.createDataFrame([], "doc_sha string, old string, new string"), 0)
         return known_rows(
-            spark.createDataFrame(
-                base[["doc_sha", "old", "new"]], schema="doc_sha string, old string, new string"
-            ),
-            len(base),
+            spark.createDataFrame(base, schema="doc_sha string, old string, new string"), len(base)
         )
-
-    m = aliases.select("doc_sha", F.col("alias").alias("old"), F.col("canonical").alias("new"), F.lit(0).alias("prio"))
-    repl_identity = repl.select(
-        "doc_sha", F.col("obsolete_id").alias("old"), F.col("obsolete_id").alias("new"), F.lit(1).alias("prio")
-    )
-    m = m.unionByName(repl_identity).groupBy("doc_sha", "old").agg(F.min_by("new", "prio").alias("new"))
-    r = (
-        repl.select("doc_sha", "obsolete_id", "replacement")
-        .withColumnRenamed("obsolete_id", "__o")
-        .withColumnRenamed("replacement", "__n")
-        .withColumnRenamed("doc_sha", "__d")
-    )
-    for _ in range(max_hops):
-        m = (
-            m.join(r, (F.col("doc_sha") == F.col("__d")) & (F.col("new") == F.col("__o")), "left")
-            .withColumn("new", F.coalesce(F.col("__n"), F.col("new")))
-            .drop("__o", "__n", "__d")
-        )
-    return m.where(F.col("old") != F.col("new"))
+    return resolution_map_distributed(clauses, max_hops)
 
 
 def rewrite_edges(
@@ -134,19 +141,26 @@ def rewrite_edges(
     max_hops: int = 3,
     resolution: DataFrame | None = None,
     broadcast_threshold: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Canonicalize edge endpoints via the pre-composed resolution map —
     one equi-join per endpoint.
 
-    The map is bounded by *declared aliases*, usually a tiny fraction of
-    the corpus — when measurably small it broadcasts (shuffling the 5M-row
-    edge table twice costs far more than a driver broadcast of the map);
-    above the gate it falls back to a sort-merge join on (doc_sha, key)
-    so a pathological alias census cannot OOM executors.
+    strategy='auto': the map is bounded by *declared aliases*, usually a
+    tiny fraction of the corpus — when measurably small it broadcasts
+    (shuffling the 5M-row edge table twice costs far more than a driver
+    broadcast of the map); above the gate it falls back to a sort-merge
+    join on (doc_sha, key) so a pathological alias census cannot OOM
+    executors.
+
+    strategy='shuffle_hash': zero probe jobs, zero broadcasts — both join
+    keys lead with doc_sha, the edge side is already hash-partitioned by
+    doc_sha (the clause cache contract), so the per-partition hash join
+    co-locates without exchanging the edge table. The 10^12-file default
+    in run_pipeline/bench.
     """
-    m = gated_broadcast(
-        resolution_map(clauses, max_hops) if resolution is None else resolution, broadcast_threshold
-    )
+    m = resolution_map(clauses, max_hops) if resolution is None else resolution
+    m = m.hint("shuffle_hash") if strategy == "shuffle_hash" else gated_broadcast(m, broadcast_threshold)
 
     ms = m.withColumnRenamed("old", "__ks").withColumnRenamed("new", "__vs").withColumnRenamed("doc_sha", "__ds")
     mo = m.withColumnRenamed("old", "__ko").withColumnRenamed("new", "__vo").withColumnRenamed("doc_sha", "__do")
@@ -197,7 +211,89 @@ def macro_table(clauses: DataFrame) -> DataFrame:
     return simple.unionByName(rel).unionByName(gd)
 
 
-def apply_xref_macros(edges: DataFrame, clauses: DataFrame) -> DataFrame:
+def _macro_emit(kind, rel, filler, s, x):
+    """Edges a (kind, rel, filler) macro synthesizes from an xref (s → x)."""
+    pair = lambda subj, pred, obj: F.struct(
+        subj.alias("s"), pred.alias("p"), obj.alias("o"), F.lit("xref-macro").alias("st")
+    )
+    return (
+        F.when(kind == "treat-xrefs-as-equivalent", F.array(pair(s, F.lit("equivalent_to"), x)))
+        .when(kind == "treat-xrefs-as-is_a", F.array(pair(s, F.lit("is_a"), x)))
+        .when(kind == "treat-xrefs-as-has-subclass", F.array(pair(x, F.lit("is_a"), s)))
+        .when(kind == "treat-xrefs-as-relationship", F.array(pair(s, rel, x)))
+        .when(
+            kind == "treat-xrefs-as-genus-differentia",
+            F.array(
+                pair(s, F.lit("intersection_of:genus"), x),
+                pair(s, F.concat(F.lit("intersection_of:"), rel), filler),
+            ),
+        )
+        .when(
+            kind == "treat-xrefs-as-reverse-genus-differentia",
+            F.array(
+                pair(x, F.lit("intersection_of:genus"), s),
+                pair(x, F.concat(F.lit("intersection_of:"), rel), filler),
+            ),
+        )
+        .otherwise(F.array())
+    )
+
+
+def extract_edges_with_macros(clauses: DataFrame, strategy: str = "auto") -> DataFrame:
+    """Single-pass triple extraction WITH treat-xrefs macro synthesis.
+
+    ``extract_edges(...).unionByName(synthesized)`` loses the clause
+    cache's doc_sha hash partitioning (UnionExec concatenates partitions),
+    which re-introduces a full edge-table exchange at the final dedup.
+    Fusing the macro join INTO the extraction pass — left-join each xref
+    row against the per-(doc, idspace) macro dim, then ONE explode emits
+    the base edge plus any synthesized ones — keeps the whole chain on
+    the cache's partitioning: zero edge-table exchanges end to end.
+    """
+    from fastobo_py_spark.operators.triples import _SIMPLE_EDGE_TAGS, edge_case_exprs
+
+    t, v1 = F.col("tag"), F.col("v1")
+    fid = F.col("frame_id")
+    ent = clauses.where(
+        (F.col("frame_type") != "Header")
+        & (fid != "")
+        & t.isin(list(_SIMPLE_EDGE_TAGS) + ["relationship", "intersection_of"])
+    )
+    pred, obj, valid = edge_case_exprs()
+    base = F.when(
+        valid,
+        F.array(F.struct(fid.alias("s"), pred.alias("p"), obj.alias("o"), t.alias("st"))),
+    ).otherwise(F.array())
+
+    # one row per (doc, idspace): several macros may target one idspace,
+    # so they aggregate into an array — the left join can't duplicate rows
+    mspace = (
+        macro_table(clauses)
+        .groupBy(F.col("doc_sha").alias("__d"), "macro_idspace")
+        .agg(F.collect_list(F.struct("kind", "rel", "filler")).alias("__ms"))
+    )
+    mspace = mspace.hint("shuffle_hash") if strategy == "shuffle_hash" else gated_broadcast(mspace)
+
+    joined = ent.join(
+        mspace,
+        (ent["doc_sha"] == mspace["__d"]) & (t == "xref") & (ident_prefix(v1) == mspace["macro_idspace"]),
+        "left",
+    )
+    synth = F.coalesce(
+        F.flatten(F.transform("__ms", lambda m: _macro_emit(m["kind"], m["rel"], m["filler"], fid, v1))),
+        F.array(),
+    )
+    edges = joined.select("doc_sha", F.explode(F.concat(base, synth)).alias("e")).select(
+        F.col("e.s").alias("subj"),
+        F.col("e.p").alias("pred"),
+        F.col("e.o").alias("obj"),
+        F.col("e.st").alias("src_tag"),
+        "doc_sha",
+    )
+    return edges.withColumn("idspace", edge_idspace(F.col("subj")))
+
+
+def apply_xref_macros(edges: DataFrame, clauses: DataFrame, strategy: str = "auto") -> DataFrame:
     """Synthesize edges from xref rows per header macros (O11).
 
     xref edges whose object prefix matches a macro idspace in the same doc
@@ -216,7 +312,8 @@ def apply_xref_macros(edges: DataFrame, clauses: DataFrame) -> DataFrame:
     Returns the input edges unioned with the synthesized ones. The macro
     dim is broadcast; the xref scan shuffles nothing.
     """
-    macros = gated_broadcast(macro_table(clauses).withColumnRenamed("doc_sha", "__d"))
+    macros = macro_table(clauses).withColumnRenamed("doc_sha", "__d")
+    macros = macros.hint("shuffle_hash") if strategy == "shuffle_hash" else gated_broadcast(macros)
     xr = edges.where(F.col("src_tag") == "xref")
     m = xr.join(
         macros,

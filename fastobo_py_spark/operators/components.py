@@ -148,6 +148,46 @@ def _per_doc_cc(pairs_with_sha: DataFrame) -> DataFrame:
     return out if n is None else known_rows(out, n)
 
 
+def per_doc_components(pairs_with_sha: DataFrame) -> DataFrame:
+    """(doc_sha, src, dst) → (doc_sha, id, component), fully distributed.
+
+    Equivalence scope is per document, so CC shards perfectly by doc_sha:
+    one ``applyInPandas`` union-find per document — no driver collect, no
+    iterative min-label job sequence, nothing bounded by one machine.
+    Labels are the per-document min id, identical to
+    :func:`connected_components`' convention and oracle.py's union-find.
+    """
+    import pandas as pd
+
+    def uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x: str) -> str:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf["src"], pdf["dst"]):
+            if a is None or b is None:
+                continue
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        ids = {v for col in ("src", "dst") for v in pdf[col] if v is not None}
+        sha = pdf["doc_sha"].iloc[0]
+        return pd.DataFrame(
+            [(sha, i, find(i)) for i in sorted(ids)], columns=["doc_sha", "id", "component"]
+        )
+
+    return pairs_with_sha.groupBy("doc_sha").applyInPandas(
+        uf, "doc_sha string, id string, component string"
+    )
+
+
 def equivalence_components(edges: DataFrame) -> DataFrame:
     """CC over all 'equivalent_to' edges (incl. macro-synthesized) →
     (doc_sha, id, component). Feed the output to :func:`canonical_rewrite`."""
@@ -157,7 +197,9 @@ def equivalence_components(edges: DataFrame) -> DataFrame:
     return _per_doc_cc(pairs)
 
 
-def equivalence_components_from_clauses(clauses: DataFrame, resolution: DataFrame | None = None) -> DataFrame:
+def equivalence_components_from_clauses(
+    clauses: DataFrame, resolution: DataFrame | None = None, strategy: str = "auto"
+) -> DataFrame:
     """Equivalence CC computed from the SMALL subset of clause rows —
     avoids materializing (and double-evaluating) the full edge table just
     to feed the fixpoint.
@@ -183,13 +225,16 @@ def equivalence_components_from_clauses(clauses: DataFrame, resolution: DataFram
     xrefs = ent.where((F.col("tag") == "xref") & F.col("v1").isNotNull()).select(
         "doc_sha", F.col("frame_id").alias("src"), F.col("v1").alias("dst")
     )
+    shj = strategy == "shuffle_hash"
+    eq_macros = eq_macros.hint("shuffle_hash") if shj else gated_broadcast(eq_macros)
     via_macro = xrefs.join(
-        gated_broadcast(eq_macros),
+        eq_macros,
         (xrefs["doc_sha"] == eq_macros["__d"]) & (ident_prefix(xrefs["dst"]) == eq_macros["macro_idspace"]),
     ).select("doc_sha", "src", "dst")
 
     pairs = explicit.unionByName(via_macro)
-    m = gated_broadcast(resolution_map(clauses) if resolution is None else resolution)
+    m = resolution_map(clauses) if resolution is None else resolution
+    m = m.hint("shuffle_hash") if shj else gated_broadcast(m)
     for col in ("src", "dst"):
         mm = m.withColumnRenamed("old", f"__k_{col}").withColumnRenamed("new", f"__v_{col}").withColumnRenamed(
             "doc_sha", f"__d_{col}"
@@ -199,10 +244,17 @@ def equivalence_components_from_clauses(clauses: DataFrame, resolution: DataFram
             .withColumn(col, F.coalesce(F.col(f"__v_{col}"), F.col(col)))
             .drop(f"__k_{col}", f"__v_{col}", f"__d_{col}")
         )
+    if shj:
+        return per_doc_components(pairs)
     return _per_doc_cc(pairs)
 
 
-def canonical_rewrite(edges: DataFrame, components: DataFrame, broadcast_threshold: int | None = None) -> DataFrame:
+def canonical_rewrite(
+    edges: DataFrame,
+    components: DataFrame,
+    broadcast_threshold: int | None = None,
+    strategy: str = "auto",
+) -> DataFrame:
     """Rewrite edge endpoints to their component representative, joined on
     (doc_sha, id) — equivalence never crosses documents.
 
@@ -211,7 +263,11 @@ def canonical_rewrite(edges: DataFrame, components: DataFrame, broadcast_thresho
     the map is measurably small, else fall back to sort-merge (the
     100 TB guard: see operators/hints.py).
     """
-    comp = gated_broadcast(components, broadcast_threshold)
+    comp = (
+        components.hint("shuffle_hash")
+        if strategy == "shuffle_hash"
+        else gated_broadcast(components, broadcast_threshold)
+    )
     comp_s = (
         comp.withColumnRenamed("id", "__s").withColumnRenamed("component", "__cs").withColumnRenamed("doc_sha", "__ds")
     )

@@ -28,20 +28,11 @@ from fastobo_py_spark.operators.idents import edge_idspace
 _SIMPLE_EDGE_TAGS = ("is_a", "union_of", "equivalent_to", "disjoint_from", "xref")
 
 
-def extract_edges(clauses: DataFrame, include_xrefs: bool = True) -> DataFrame:
-    """Entity clause rows → edge table (EDGE_SCHEMA).
-
-    SINGLE scan of the clause table: each row maps to its (pred, obj)
-    through one case expression (a union-of-projections formulation costs
-    one cache scan per branch — measured on a 37M-row cached table).
-    """
-    simple_tags = [t for t in _SIMPLE_EDGE_TAGS if include_xrefs or t != "xref"]
+def edge_case_exprs():
+    """(pred, obj, valid) case expressions over a clause row — shared by
+    :func:`extract_edges` and the macro-fused single-pass variant
+    (canonicalize.extract_edges_with_macros)."""
     t, v1, v2 = F.col("tag"), F.col("v1"), F.col("v2")
-    ent = clauses.where(
-        (F.col("frame_type") != "Header")
-        & (F.col("frame_id") != "")
-        & t.isin(simple_tags + ["relationship", "intersection_of"])
-    )
     pred = (
         F.when(t == "relationship", v1)
         .when(
@@ -54,6 +45,24 @@ def extract_edges(clauses: DataFrame, include_xrefs: bool = True) -> DataFrame:
     valid = F.when(t == "relationship", v1.isNotNull() & v2.isNotNull()).when(
         t == "intersection_of", v2.isNotNull()
     ).otherwise(v1.isNotNull())
+    return pred, obj, valid
+
+
+def extract_edges(clauses: DataFrame, include_xrefs: bool = True) -> DataFrame:
+    """Entity clause rows → edge table (EDGE_SCHEMA).
+
+    SINGLE scan of the clause table: each row maps to its (pred, obj)
+    through one case expression (a union-of-projections formulation costs
+    one cache scan per branch — measured on a 37M-row cached table).
+    """
+    simple_tags = [t for t in _SIMPLE_EDGE_TAGS if include_xrefs or t != "xref"]
+    t = F.col("tag")
+    ent = clauses.where(
+        (F.col("frame_type") != "Header")
+        & (F.col("frame_id") != "")
+        & t.isin(simple_tags + ["relationship", "intersection_of"])
+    )
+    pred, obj, valid = edge_case_exprs()
     edges = ent.where(valid).select(
         F.col("frame_id").alias("subj"),
         pred.alias("pred"),

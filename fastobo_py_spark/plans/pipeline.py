@@ -25,12 +25,52 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from fastobo_py_spark.operators.canonicalize import apply_xref_macros, rewrite_edges
-from fastobo_py_spark.operators.components import canonical_rewrite, equivalence_components
+from fastobo_py_spark.operators.components import canonical_rewrite
 from fastobo_py_spark.operators.materialize import build_nodes, with_salt
 from fastobo_py_spark.operators.parse import parse_corpus, split_parsed
 from fastobo_py_spark.operators.triples import extract_edges
 
 MANIFEST_COLS = ("doc_sha", "repo", "path", "commit")
+
+# the edge dedup + every doc-keyed join key off doc_sha — the clause cache
+# is hash-partitioned on it once, and nothing downstream re-shuffles
+EDGE_KEY = ["subj", "pred", "obj", "doc_sha"]
+
+
+def canonical_edges(clauses: DataFrame, strategy: str = "shuffle_hash") -> DataFrame:
+    """Clause rows → canonicalized, per-doc-deduped edge table.
+
+    strategy='shuffle_hash' (the 10^12-file default): every dimension —
+    macro table, resolution map, component labels — flows as a
+    doc_sha-co-partitioned shuffle-hash join against the already-
+    partitioned clause cache, and the resolution/CC computations shard
+    per document via applyInPandas. ZERO driver collects, ZERO broadcast
+    builds, so the job's serial fraction is two job submissions no matter
+    the corpus size. strategy='auto' keeps the scale-adaptive driver
+    shortcuts + gated broadcasts (fastest for interactive small corpora).
+    """
+    from fastobo_py_spark.operators.canonicalize import (
+        extract_edges_with_macros,
+        resolution_map,
+        resolution_map_distributed,
+    )
+    from fastobo_py_spark.operators.components import equivalence_components_from_clauses
+
+    shj = strategy == "shuffle_hash"
+    res = resolution_map_distributed(clauses) if shj else resolution_map(clauses)
+    if shj:
+        # the map feeds 4 joins (pair src/dst, edge subj/obj): a tiny
+        # cache beats re-running the applyInPandas composition per branch
+        res = res.persist()
+    comps = equivalence_components_from_clauses(clauses, resolution=res, strategy=strategy)
+    if shj:
+        comps = comps.persist()
+    # macro synthesis is FUSED into the extraction pass (no union) so the
+    # clause cache's doc_sha partitioning survives to the final dedup
+    e = extract_edges_with_macros(clauses, strategy=strategy)
+    e = rewrite_edges(e, clauses, resolution=res, strategy=strategy)
+    e = canonical_rewrite(e, comps, strategy=strategy)
+    return e.dropDuplicates(EDGE_KEY)
 
 
 def _manifest_path(out_dir: str) -> str:
@@ -103,17 +143,10 @@ def run_pipeline(
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     clauses = clauses.repartition(n_shuffle, "doc_sha").persist()
 
-    edges = extract_edges(clauses)
-    edges = apply_xref_macros(edges, clauses)
     if canonicalize:
-        from fastobo_py_spark.operators.canonicalize import resolution_map
-        from fastobo_py_spark.operators.components import equivalence_components_from_clauses
-
-        res = resolution_map(clauses)
-        comps = equivalence_components_from_clauses(clauses, resolution=res)
-        edges = rewrite_edges(edges, clauses, resolution=res)
-        edges = canonical_rewrite(edges, comps)
-    edges = edges.dropDuplicates(["subj", "pred", "obj", "doc_sha"])
+        edges = canonical_edges(clauses, strategy="shuffle_hash")
+    else:
+        edges = apply_xref_macros(extract_edges(clauses), clauses).dropDuplicates(EDGE_KEY)
     edges = edges.observe(obs["edges"], F.count(F.lit(1)).alias("n"))
     # clause observation rides the node build: its write is a guaranteed
     # FULL scan of the clause cache (a limit-style first action — e.g. the

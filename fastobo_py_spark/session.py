@@ -40,6 +40,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Allow joins to reuse a subset hash partitioning (doc_sha) of the
+        # clause cache instead of re-exchanging the edge table by the full
+        # join keys — the whole canonical chain then runs in ONE stage.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         # Arrow for every pandas UDF / mapInPandas boundary (the parse UDF).
         # Small batches: corpus rows are whole documents (10KB-1MB), so 16
         # rows ≈ a few MB per IPC frame; 1024-row batches made 100MB+

@@ -199,3 +199,17 @@ def test_rewrite_without_broadcast_matches(spark, clauses, corpus_rows):
     want = oracle.edge_key_set(oracle.build_edges(corpus_rows, canonicalize=True))
     p, r = oracle.precision_recall(got, want)
     assert (p, r) == (1.0, 1.0), f"precision={p} recall={r}"
+
+
+def test_canonical_edges_shuffle_hash_vs_oracle(spark, clauses, corpus_rows):
+    """The fully-distributed path (per-doc applyInPandas resolution + CC,
+    shuffle-hash dimension joins, no broadcasts, no driver collects) must
+    produce the exact oracle edge set."""
+    from fastobo_py_spark.plans.pipeline import canonical_edges
+
+    cl = clauses.repartition(4, "doc_sha")
+    e = canonical_edges(cl, strategy="shuffle_hash")
+    got = {(r["subj"], r["pred"], r["obj"], r["doc_sha"]) for r in e.collect()}
+    want = oracle.edge_key_set(oracle.build_edges(corpus_rows, canonicalize=True))
+    p, r = oracle.precision_recall(got, want)
+    assert (p, r) == (1.0, 1.0), f"precision={p} recall={r}"
