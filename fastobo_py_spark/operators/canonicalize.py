@@ -239,7 +239,9 @@ def _macro_emit(kind, rel, filler, s, x):
     )
 
 
-def extract_edges_with_macros(clauses: DataFrame, strategy: str = "auto") -> DataFrame:
+def extract_edges_with_macros(
+    clauses: DataFrame, strategy: str = "auto", macro_source: DataFrame | None = None
+) -> DataFrame:
     """Single-pass triple extraction WITH treat-xrefs macro synthesis.
 
     ``extract_edges(...).unionByName(synthesized)`` loses the clause
@@ -265,12 +267,15 @@ def extract_edges_with_macros(clauses: DataFrame, strategy: str = "auto") -> Dat
         F.array(F.struct(fid.alias("s"), pred.alias("p"), obj.alias("o"), t.alias("st"))),
     ).otherwise(F.array())
 
-    # one row per (doc, idspace): several macros may target one idspace,
-    # so they aggregate into an array — the left join can't duplicate rows
-    mspace = (
-        macro_table(clauses)
-        .groupBy(F.col("doc_sha").alias("__d"), "macro_idspace")
-        .agg(F.collect_list(F.struct("kind", "rel", "filler")).alias("__ms"))
+    # Direct left join to the macro dim (NOT aggregated into per-idspace
+    # arrays): transform/flatten higher-order functions fall out of
+    # whole-stage codegen and cost ~10x per row on the 14M-row hot path.
+    # Several macros on one idspace duplicate the matched xref row — each
+    # duplicate re-emits the base edge, which the end-of-chain
+    # dropDuplicates(EDGE_KEY) removes; pure CaseWhen/CreateArray keeps
+    # the whole emission inside codegen.
+    mspace = macro_table(clauses if macro_source is None else macro_source).withColumnRenamed(
+        "doc_sha", "__d"
     )
     mspace = mspace.hint("shuffle_hash") if strategy == "shuffle_hash" else gated_broadcast(mspace)
 
@@ -279,10 +284,7 @@ def extract_edges_with_macros(clauses: DataFrame, strategy: str = "auto") -> Dat
         (ent["doc_sha"] == mspace["__d"]) & (t == "xref") & (ident_prefix(v1) == mspace["macro_idspace"]),
         "left",
     )
-    synth = F.coalesce(
-        F.flatten(F.transform("__ms", lambda m: _macro_emit(m["kind"], m["rel"], m["filler"], fid, v1))),
-        F.array(),
-    )
+    synth = _macro_emit(F.col("kind"), F.col("rel"), F.col("filler"), fid, v1)
     edges = joined.select("doc_sha", F.explode(F.concat(base, synth)).alias("e")).select(
         F.col("e.s").alias("subj"),
         F.col("e.p").alias("pred"),

@@ -35,6 +35,19 @@ ROWS_PER_BAND = N_MINHASH // N_BANDS
 SHINGLE_K = 3
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure at least shuffle-partition-count input partitions.
+
+    The shingle/token explodes multiply rows 100-1000x but run pipelined
+    INSIDE the scan partitions — a small parquet input (one 128 MB-rule
+    partition) would serialize the whole dedup job on one core. At real
+    scale the scan already has >= shuffle partitions and this is a no-op;
+    below that, shuffling the (small by definition) input is trivial.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+
+
 def exact_duplicates(documents: DataFrame) -> DataFrame:
     """Exact dedup groups: (fp, keep_id, n_dups) for every distinct text."""
     return (
@@ -60,17 +73,25 @@ def shingles(col: Column, k: int = SHINGLE_K) -> Column:
 
 
 def minhash_signatures(documents: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
-    """(doc_id, h0..h{n-1}): MinHash signature as hex-string minima.
+    """(doc_id, h0..h{n-1}): MinHash signature via double hashing.
 
-    No shingle dedup before the aggregation: ``min`` is duplicate-
-    insensitive, so the dropDuplicates shuffle the Jaccard path needs is
-    pure cost here — one groupBy is the only exchange.
+    ONE md5 per shingle, split into two 32-bit halves (a, b); hash
+    family h_i = a + i*b (Carter–Wegman double hashing, the standard
+    Broder minhash construction) — 16x less hashing than an md5 per
+    (i, shingle), and h_i ≤ 2^36 fits a BIGINT exactly in both engines
+    so the DuckDB oracle mirrors bit-for-bit. No shingle dedup before
+    the aggregation: ``min`` is duplicate-insensitive, so one groupBy is
+    the only exchange.
     """
-    sh = documents.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}") for i in range(n_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    sh = _spread(documents).select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
+    md5 = F.md5(F.col("sh"))
+    hashed = sh.select(
+        "doc_id",
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("a"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("b"),
+    )
+    aggs = [F.min(F.col("a") + F.lit(i) * F.col("b")).alias(f"h{i}") for i in range(n_hashes)]
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_bands(signatures: DataFrame, n_bands: int = N_BANDS, rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
@@ -95,8 +116,11 @@ def minhash_candidate_pairs(documents: DataFrame) -> DataFrame:
     # the signature table feeds FOUR plan branches (band left/right, est
     # join a/b) — without a persist each branch re-runs the shingle
     # explode + 16 min-aggs (measured: 4x the signature cost, the
-    # dominant term of the round-1 bench's 8 s)
+    # dominant term of the round-1 bench's 8 s). The fill is EAGER:
+    # four consumers racing an unfilled cache serialize on block locks
+    # and recompute partitions anyway.
     sigs = minhash_signatures(documents).persist()
+    sigs.count()
     bands = lsh_bands(sigs)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band_ix", "band_hash")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band_ix", "band_hash")
@@ -125,7 +149,7 @@ def ngram_jaccard_pairs(documents: DataFrame, min_jaccard: float = 0.0) -> DataF
     recall, exact Jaccard for precision.
     """
     cands = minhash_candidate_pairs(documents).select("doc_a", "doc_b")
-    sh = documents.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh")).dropDuplicates(
+    sh = _spread(documents).select("doc_id", F.explode(shingles(F.col("text"))).alias("sh")).dropDuplicates(
         ["doc_id", "sh"]
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -153,7 +177,7 @@ def simhash(documents: DataFrame, n_bits: int = 60) -> DataFrame:
     ('0x'||substr(md5(t),1,15))::UBIGINT). Bit b of the fingerprint is set
     iff the sum over tokens of (bit_b(h) ? +1 : -1) is positive.
     """
-    toks = documents.select(
+    toks = _spread(documents).select(
         "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
     )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")

@@ -57,17 +57,33 @@ def canonical_edges(clauses: DataFrame, strategy: str = "shuffle_hash") -> DataF
     from fastobo_py_spark.operators.components import equivalence_components_from_clauses
 
     shj = strategy == "shuffle_hash"
-    res = resolution_map_distributed(clauses) if shj else resolution_map(clauses)
+    # The dim builders (macro table, alias/replacement map, equivalence
+    # pairs) each rescan their input; against the full clause cache that
+    # was ~5 extra full-table scans — the measured bulk of the graph
+    # stage. One narrow projection holds every dim-bearing row (headers +
+    # alias/redirect/equivalence/xref tags, a small fraction of the edge
+    # rows), so dim building rescans only it.
+    dims = clauses.where(
+        (F.col("frame_type") == "Header")
+        | F.col("tag").isin("alt_id", "replaced_by", "equivalent_to", "xref")
+    ).persist()
+    if shj:
+        # eager fill: the res/comps/macro branches otherwise race to
+        # compute the same cache partitions and serialize on block locks
+        # (measured: 100+ task-seconds of cores held while blocked)
+        dims.count()
+
+    res = resolution_map_distributed(dims) if shj else resolution_map(dims)
     if shj:
         # the map feeds 4 joins (pair src/dst, edge subj/obj): a tiny
         # cache beats re-running the applyInPandas composition per branch
         res = res.persist()
-    comps = equivalence_components_from_clauses(clauses, resolution=res, strategy=strategy)
+    comps = equivalence_components_from_clauses(dims, resolution=res, strategy=strategy)
     if shj:
         comps = comps.persist()
     # macro synthesis is FUSED into the extraction pass (no union) so the
     # clause cache's doc_sha partitioning survives to the final dedup
-    e = extract_edges_with_macros(clauses, strategy=strategy)
+    e = extract_edges_with_macros(clauses, strategy=strategy, macro_source=dims)
     e = rewrite_edges(e, clauses, resolution=res, strategy=strategy)
     e = canonical_rewrite(e, comps, strategy=strategy)
     return e.dropDuplicates(EDGE_KEY)

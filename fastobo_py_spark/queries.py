@@ -337,14 +337,19 @@ _SH = """
         FROM documents)
 """
 
+# double hashing mirror of operators.dedup.minhash_signatures: one md5
+# per shingle, h_i = a + i*b over the two 32-bit halves
 _SIG = (
     "SELECT doc_id, "
-    + ", ".join(f"min(md5('{i}|' || sh)) AS h{i}" for i in range(16))
-    + f" FROM (SELECT doc_id, unnest(shs) AS sh FROM ({_SH})) GROUP BY doc_id"
+    + ", ".join(f"min(a + {i} * b) AS h{i}" for i in range(16))
+    + " FROM (SELECT doc_id,"
+    + " ('0x' || substr(md5(sh), 1, 8))::UBIGINT::BIGINT AS a,"
+    + " ('0x' || substr(md5(sh), 9, 8))::UBIGINT::BIGINT AS b"
+    + f" FROM (SELECT doc_id, unnest(shs) AS sh FROM ({_SH}))) GROUP BY doc_id"
 )
 
 _BANDS = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_ix, md5(h{4*b} || '|' || h{4*b+1} || '|' || h{4*b+2} || '|' || h{4*b+3}) AS band_hash FROM sigs"
+    f"SELECT doc_id, {b} AS band_ix, md5(h{4*b}::VARCHAR || '|' || h{4*b+1}::VARCHAR || '|' || h{4*b+2}::VARCHAR || '|' || h{4*b+3}::VARCHAR) AS band_hash FROM sigs"
     for b in range(4)
 )
 

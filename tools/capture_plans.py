@@ -40,6 +40,18 @@ def main() -> None:
     )
     e = apply_xref_macros(extract_edges(clauses), clauses)
     show("Edges + macro synthesis (single scan; broadcast macro dim)", e.groupBy("pred").count())
+
+    from fastobo_py_spark.plans.pipeline import canonical_edges
+
+    cl2 = clauses.repartition(8, "doc_sha").persist()
+    cl2.count()
+    show(
+        "Full canonical chain, strategy=shuffle_hash — the 10^12-file plan: "
+        "per-doc applyInPandas resolution/CC (FlatMapGroupsInPandas), every dim a "
+        "doc_sha-co-partitioned ShuffledHashJoin, ZERO exchanges of the edge table "
+        "(only __d*/dim sides shuffle), final dedup reuses the cache partitioning",
+        canonical_edges(cl2, strategy="shuffle_hash"),
+    )
     show("TPC-H Q5 shape (dims broadcast, AQE shuffles)", q_region_revenue(spark, "/root/testdata/sf0.001"))
     spark.stop()
     shutil.rmtree(d)
@@ -57,7 +69,11 @@ with `python tools/capture_plans.py`). What to look for, per the
   column pruning reach the source (only the consumed columns are read).
 * **BroadcastHashJoin** for every dimension-sized side (header idspace
   maps, resolution map, CC components, TPC-H dims) — no shuffle of the
-  big side.
+  big side. The production pipeline instead uses strategy=shuffle_hash:
+  **ShuffledHashJoin** with the edge side reusing the clause cache's
+  doc_sha hash partitioning (requireAllClusterKeysForCoPartition=false),
+  so ONLY the tiny dim side exchanges — nothing is driver-bounded and
+  the edge table is never re-shuffled.
 * **WholeStageCodegen** spans covering the extraction/linking projections
   — the hot path never leaves the JVM except the one Arrow parse stage
   (ArrowEvalPython / MapInPandas appears exactly once per pipeline).
