@@ -41,7 +41,10 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
-STRICT_DECODE = False  # flip to raise NotImplementedError instead of faking
+# STRICT by default: a production caller must either plug a real codec
+# or EXPLICITLY opt into the deterministic fake (tests do) — a silent
+# fake in the default path could masquerade as real features.
+STRICT_DECODE = True
 
 
 def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
@@ -66,24 +69,31 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
-def _fake_decode_features(payload: bytes, dim: int = 16) -> list[float]:
+def _fake_decode_features(payload: bytes, dim: int = 16, strict: bool | None = None) -> list[float]:
     """STUB: stands in for image/audio decode + embedding.
 
     Deterministic: unpack sha256(payload) into floats. A real deployment
     replaces this body with PIL/torchvision/librosa calls — the Spark
     plumbing (Arrow batches in, fixed-dim float vectors out) is identical.
     """
-    if STRICT_DECODE:
-        raise NotImplementedError("media codecs not available in this environment")
+    if STRICT_DECODE if strict is None else strict:
+        raise NotImplementedError(
+            "media codecs not available in this environment; pass strict=False "
+            "to extract_features to use the deterministic fake embedding"
+        )
     h = hashlib.sha256(payload).digest() + hashlib.sha256(payload + b"x").digest()
     vals = struct.unpack("<16H", h[:32])
     return [v / 65535.0 for v in vals[:dim]]
 
 
-def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+def extract_features(media: DataFrame, dim: int = 16, strict: bool | None = None) -> DataFrame:
     """mapInPandas feature extraction: one Arrow batch of payloads in,
     one batch of fixed-dim vectors out. Only (media_id, kind, payload)
-    cross the JVM→Python boundary (column pruning does the rest)."""
+    cross the JVM→Python boundary (column pruning does the rest).
+
+    Strict by default (no codecs in this container): raises
+    NotImplementedError unless ``strict=False`` opts into the
+    deterministic fake embedding."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -92,7 +102,7 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                 "kind": pdf["kind"],
                 "payload_sha": pdf["payload"].map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
                 "n_bytes": pdf["payload"].map(len).astype("int32"),
-                "features": pdf["payload"].map(lambda b: _fake_decode_features(bytes(b), dim)),
+                "features": pdf["payload"].map(lambda b: _fake_decode_features(bytes(b), dim, strict)),
             }
             yield pd.DataFrame(out)
 

@@ -133,12 +133,12 @@ def test_multimodal_features(spark):
     from fastobo_py_spark.operators.multimodal import extract_features, sample_frames, synth_media
 
     media = synth_media(spark, n=30)
-    feats = extract_features(media).collect()
+    feats = extract_features(media, strict=False).collect()
     assert len(feats) == 30
     assert all(len(r["features"]) == 16 for r in feats)
     assert all(0.0 <= v <= 1.0 for r in feats for v in r["features"])
     # deterministic: same payload -> same features
-    again = {r["media_id"]: r["features"] for r in extract_features(media).collect()}
+    again = {r["media_id"]: r["features"] for r in extract_features(media, strict=False).collect()}
     assert all(again[r["media_id"]] == r["features"] for r in feats)
     frames = sample_frames(media, every_ms=5000)
     vid_rows = frames.groupBy("media_id").count().collect()
@@ -252,3 +252,15 @@ def test_ident_is_valid(spark):
     got = {r["ident"]: r["ok"] for r in df.select("ident", ident_is_valid(F.col("ident")).alias("ok")).collect()}
     for s, want in cases:
         assert got[s] is want, s
+
+
+def test_multimodal_strict_by_default(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from fastobo_py_spark.operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=3)
+    with pytest.raises(Exception) as ei:
+        extract_features(media).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
