@@ -35,3 +35,91 @@ def test_stream_parse_matches_batch(spark):
         assert spark.read.parquet(f"{out_dir}/parsed").count() == n_stream
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_windowed_agg_with_watermark(spark):
+    """Watermarked tumbling-window aggregate over a 4-file backlog
+    (maxFilesPerTrigger=1 → 4 micro-batches): the final update per
+    window key must equal the batch aggregation."""
+    from fastobo_py_spark.streaming.windows import stream_events_hourly
+
+    base = tempfile.mkdtemp(prefix="stream_win_")
+    try:
+        src = f"{base}/events"
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        events.repartition(4).write.parquet(src)
+        stream = spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        q = (
+            stream_events_hourly(stream)
+            .writeStream.format("memory")
+            .queryName("hourly_sink")
+            .outputMode("update")
+            .option("checkpointLocation", f"{base}/ckpt1")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.sql(
+                # totals only grow per key: the max-count row is the final update
+                "select hour, event_type, max_by(n_events, n_events) n_events,"
+                " max_by(sum_value, n_events) sum_value from hourly_sink group by 1,2"
+            ).collect()
+        }
+        want = {
+            (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in events.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+            .collect()
+        }
+        assert set(got) == set(want)
+        assert all(got[k][0] == want[k][0] for k in want)
+        assert all(abs(got[k][1] - want[k][1]) < 1e-6 for k in want)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_stateful_user_totals(spark):
+    """applyInPandasWithState running totals accumulate across
+    micro-batches (state store), matching the batch aggregate exactly."""
+    from fastobo_py_spark.streaming.windows import stream_user_totals
+
+    base = tempfile.mkdtemp(prefix="stream_state_")
+    try:
+        src = f"{base}/events"
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        events.repartition(4).write.parquet(src)
+        stream = spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        q = (
+            stream_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName("totals_sink")
+            .outputMode("update")
+            .option("checkpointLocation", f"{base}/ckpt2")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_batches = spark.sql("select count(*) from totals_sink").collect()[0][0]
+        got = {
+            r["user_id"]: (r["n_events"], r["sum_value_e4"])
+            for r in spark.sql(
+                "select user_id, max(n_events) n_events,"
+                " max_by(sum_value_e4, n_events) sum_value_e4 from totals_sink group by 1"
+            ).collect()
+        }
+        want = {
+            r["user_id"]: (r["n_events"], r["sum_value_e4"])
+            for r in events.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.round(F.col("value") * 10000).cast("long")).alias("sum_value_e4"),
+            )
+            .collect()
+        }
+        assert got == want
+        # state genuinely crossed micro-batches: more update rows than users
+        assert n_batches > len(want)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
