@@ -78,6 +78,14 @@ def make_ms_like(doc_ix: int, n_terms: int = 50, n_typedefs: int = 2) -> str:
         out.append(f"name: typedef {d}")
         out.append("is_transitive: true" if d else "is_metadata_tag: true")
         out.append("")
+    # one [Instance] frame per doc: the third frame type of the reference's
+    # AST (src/py/instance/frame.rs), with an xsd-typed property_value
+    out.append("[Instance]")
+    out.append(f"id: {p}:i000001")
+    out.append(f"name: calibration instance {doc_ix}")
+    out.append(f"instance_of: {p}:0000001")
+    out.append(f'property_value: IAO:0000412 "2.5" xsd:float')
+    out.append("")
     return _header(out)
 
 

