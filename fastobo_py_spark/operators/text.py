@@ -94,6 +94,39 @@ def lang_id(col: Column) -> Column:
     )
 
 
+# BPE-ish pre-tokenizer classes (GPT-2-style, minus lookaheads so the
+# same pattern means the same thing in Java regex and DuckDB's RE2):
+# letter runs | digit runs | non-space-non-alnum runs
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Sub-word-ish token count via the BPE pre-tokenizer classes —
+    the cheap proxy for 'how many LLM tokens is this document' that a
+    curation pipeline budgets with (whitespace counts undercount code
+    and punctuation-dense text)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
+
+
+def ngram_repetition_ppm(col: Column, n: int = 3) -> Column:
+    """Gopher-style repetition score: 1 − distinct/total word n-grams,
+    in ppm (0 = no repetition). High values flag boilerplate/spam docs
+    that near-dup passes miss because the repetition is INTERNAL."""
+    toks = tokens(normalize_text(col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(total > 0, F.floor((1.0 - distinct / total) * 1_000_000).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+
+
 def normalize_text(col: Column) -> Column:
     return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
 

@@ -267,6 +267,46 @@ ORDER BY doc_id
 """
 
 
+def q_text_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Token budgeting + internal-repetition profile: whitespace tokens,
+    BPE-ish pre-tokenizer tokens, and Gopher-style 3-gram repetition."""
+    docs = load_table(spark, sf, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.token_count(t).alias("n_ws_tokens"),
+        X.bpe_token_count(t).alias("n_bpe_tokens"),
+        X.ngram_repetition_ppm(t, 3).alias("rep3_ppm"),
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_TOKENS = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+         CASE WHEN trim(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') END AS ntoks
+  FROM documents
+), grams AS (
+  SELECT doc_id, text, toks,
+         CASE WHEN len(ntoks) >= 3
+              THEN list_transform(range(1, len(ntoks) - 1),
+                        i -> ntoks[i] || ' ' || ntoks[i+1] || ' ' || ntoks[i+2])
+              ELSE []::VARCHAR[] END AS g3
+  FROM base
+)
+SELECT doc_id,
+       len(toks) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe_tokens,
+       CASE WHEN len(g3) > 0
+            THEN CAST(floor((1.0 - len(list_distinct(g3))::DOUBLE / len(g3)) * 1000000) AS BIGINT)
+            ELSE 0 END AS rep3_ppm
+FROM grams
+ORDER BY doc_id
+"""
+
+
 def q_quality_by_lang(spark: SparkSession, sf: str) -> DataFrame:
     """Aggregated quality profile per source — the corpus-curation view."""
     docs = load_table(spark, sf, "documents")
@@ -830,6 +870,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
     "text_stats": q_text_stats,
+    "text_tokens": q_text_tokens,
     "quality_by_source": q_quality_by_lang,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
@@ -857,6 +898,7 @@ def oracle_sqls() -> dict[str, str]:
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "text_stats": SQL_TEXT_STATS,
+        "text_tokens": SQL_TEXT_TOKENS,
         "quality_by_source": SQL_QUALITY_BY_LANG,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
