@@ -20,7 +20,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# `python jobs/build_kg.py` puts jobs/ (not the repo root) on sys.path
+# (PEP 538 script-dir behavior); on a cluster --py-files provides the
+# package instead and this is a no-op.
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 
 def main(argv: list[str] | None = None) -> int:
