@@ -1,0 +1,77 @@
+"""Streaming corpus→KG: the batch canonical chain under foreachBatch.
+
+The batch job (plans/pipeline.py) and this stream run the SAME operator
+code — ``foreachBatch`` hands each micro-batch of newly-arrived corpus
+rows to the identical parse → canonicalize → materialize flow and appends
+to the same parquet layout. Exactly-once comes from the Structured
+Streaming checkpoint (source offsets + batch id): a replayed micro-batch
+rewrites the same doc_sha-keyed rows, which downstream readers dedup by
+key — the same idempotence contract as the batch manifest (O19).
+
+Per-document canonicalization makes this correct without cross-batch
+state: every doc's aliases/equivalences live inside the doc, so a
+micro-batch is a self-contained unit of work. (Cross-document state —
+e.g. global equivalence — would need applyInPandasWithState instead;
+the OBO semantics deliberately don't.)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastobo_py_spark.operators.materialize import build_nodes, with_salt
+from fastobo_py_spark.operators.parse import parse_corpus, split_parsed
+from fastobo_py_spark.plans.pipeline import EDGE_KEY, canonical_edges
+from fastobo_py_spark.schema import CORPUS_SCHEMA
+
+
+def _process_batch(out_dir: str, n_salts: int):
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        parsed = parse_corpus(batch_df).persist()
+        clauses, quarantine = split_parsed(parsed)
+        quarantine.write.mode("append").parquet(os.path.join(out_dir, "quarantine"))
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        clauses = clauses.repartition(n_shuffle, "doc_sha").persist()
+        edges = canonical_edges(clauses, strategy="shuffle_hash")
+        nodes = build_nodes(clauses)
+        nodes.write.mode("append").partitionBy("idspace").parquet(os.path.join(out_dir, "nodes"))
+        with_salt(edges, "subj", n_salts).write.mode("append").partitionBy("idspace", "salt").parquet(
+            os.path.join(out_dir, "edges")
+        )
+        clauses.unpersist()
+        parsed.unpersist()
+
+    return fn
+
+
+def stream_build_kg(
+    spark: SparkSession,
+    corpus_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_salts: int = 16,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """readStream over a corpus directory → canonical KG parquet sinks.
+
+    ``availableNow`` drains the backlog then stops (test/batch-catchup
+    mode); production drops it for continuous micro-batches.
+    """
+    reader = spark.readStream.schema(CORPUS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(corpus_dir)
+    writer = stream.writeStream.foreachBatch(_process_batch(out_dir, n_salts)).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q

@@ -123,3 +123,32 @@ def test_stream_stateful_user_totals(spark):
         assert n_batches > len(want)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_build_kg_matches_batch_and_oracle(spark):
+    """foreachBatch KG stream over a multi-file backlog produces exactly
+    the batch pipeline's canonical edge set (and therefore the oracle's:
+    per-document canonicalization is batch-boundary invariant)."""
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import corpus_to_parquet, generate_corpus
+    from fastobo_py_spark.streaming.kg import stream_build_kg
+
+    base = tempfile.mkdtemp(prefix="stream_kg_")
+    try:
+        corpus_dir = f"{base}/corpus"
+        corpus_to_parquet(corpus_dir, n_obo=12, n_noise=8, n_broken=1, n_files=4)
+        stream_build_kg(spark, corpus_dir, f"{base}/out", f"{base}/ckpt", max_files_per_trigger=2)
+        got = {
+            (r["subj"], r["pred"], r["obj"], r["doc_sha"])
+            for r in spark.read.parquet(f"{base}/out/edges").select("subj", "pred", "obj", "doc_sha").collect()
+        }
+        rows = generate_corpus(n_obo=12, n_noise=8, n_broken=1)
+        want = oracle.edge_key_set(oracle.build_edges(rows, canonicalize=True))
+        p, r = oracle.precision_recall(got, want)
+        assert (p, r) == (1.0, 1.0), f"precision={p} recall={r}"
+        # restart against the same checkpoint: no duplicate appends
+        stream_build_kg(spark, corpus_dir, f"{base}/out", f"{base}/ckpt", max_files_per_trigger=2)
+        n_after = spark.read.parquet(f"{base}/out/edges").count()
+        assert n_after == len(got)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
