@@ -191,6 +191,19 @@ def simhash(documents: DataFrame, n_bits: int = 60) -> DataFrame:
     )
 
 
+def duplicate_clusters(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """(id, component): connected components over candidate near-dup
+    pairs — duplicate GROUPS, not just pairs (keep one doc per component,
+    drop the rest: the actual dedup decision at corpus scale).
+
+    Delegates to the scale-adaptive CC operator (driver union-find below
+    threshold, distributed min-label loop above).
+    """
+    from fastobo_py_spark.operators.components import connected_components
+
+    return connected_components(pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")))
+
+
 def simhash_hamming_pairs(
     documents: DataFrame, max_hamming: int = 3, n_bits: int = 60, n_bands: int = 4
 ) -> DataFrame:

@@ -17,8 +17,6 @@ Two paths:
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -67,26 +65,6 @@ def self_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5) -> DataFra
         F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("q")
     )
     return brute_force_topk(embeddings, queries, k=k)
-
-
-def hyperplane_signature(v: Column, dim: int, n_planes: int = 8, seed: int = 7) -> Column:
-    """Deterministic random-hyperplane LSH signature (bit string).
-
-    Plane p, component i weight = hash-based pseudo-random in {-1..1}:
-    derived from md5(seed|p|i) → integer → scaled. Stable across engines
-    and runs; no RNG state shipped to executors.
-    """
-    bits = []
-    for p in range(n_planes):
-        # weight_i = (md5 nibble - 7.5) gives a fixed pseudo-random ±pattern
-        w = [
-            (int(hashlib.md5(f"{seed}|{p}|{i}".encode()).hexdigest()[:4], 16) % 1000) / 500.0 - 1.0
-            for i in range(dim)
-        ]
-        arr = F.array(*[F.lit(x) for x in w])
-        proj = F.aggregate(F.zip_with(v, arr, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
 
 
 def hyperplane_weights(dim: int, n_planes: int, seed: int = 7) -> "np.ndarray":

@@ -442,6 +442,57 @@ ORDER BY i.doc_a, i.doc_b
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate GROUPS: connected components over the exact-Jaccard
+    (>= 0.5) near-dup pairs — the keep-one-per-cluster dedup decision.
+    Doc ids ride as zero-padded strings so the CC min-label convention
+    (lexicographic) equals numeric order in both engines."""
+    docs = load_table(spark, sf, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, min_jaccard=0.5).select(
+        F.format_string("%010d", F.col("doc_a")).alias("doc_a"),
+        F.format_string("%010d", F.col("doc_b")).alias("doc_b"),
+    )
+    return (
+        D.duplicate_clusters(pairs)
+        .groupBy("component")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("component")
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE sigs AS ({_SIG}),
+bands AS ({_BANDS}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r ON l.band_ix = r.band_ix AND l.band_hash = r.band_hash
+  WHERE l.doc_id < r.doc_id
+),
+sh AS (SELECT doc_id, unnest(shs) AS sh FROM ({_SH})),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_int
+  FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id AND a.sh = b.sh
+  GROUP BY c.doc_a, c.doc_b
+),
+pairs AS (
+  SELECT lpad(i.doc_a::VARCHAR, 10, '0') AS a, lpad(i.doc_b::VARCHAR, 10, '0') AS b
+  FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE round(n_int::DOUBLE / (sa.n_sh + sb.n_sh - n_int), 6) >= 0.5
+),
+sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
+)
+SELECT component, count(*) AS n_docs FROM (
+  SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+) GROUP BY component
+ORDER BY component
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return D.simhash(docs).orderBy("doc_id")
@@ -873,6 +924,7 @@ QUERIES = {
     "text_tokens": q_text_tokens,
     "quality_by_source": q_quality_by_lang,
     "dedup_exact": q_dedup_exact,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
@@ -901,6 +953,7 @@ def oracle_sqls() -> dict[str, str]:
         "text_tokens": SQL_TEXT_TOKENS,
         "quality_by_source": SQL_QUALITY_BY_LANG,
         "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
