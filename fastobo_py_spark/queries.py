@@ -147,6 +147,51 @@ ORDER BY o_orderpriority, rank
 """
 
 
+def q_orders_with_returns(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join — orders having at least one
+    returned lineitem, counted per priority (LeftSemi, no row blowup)."""
+    orders = load_table(spark, sf, "orders")
+    returned = load_table(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        orders.join(returned, orders["o_orderkey"] == returned["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_ORDERS_WITH_RETURNS = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: NOT EXISTS anti-join — customers with no orders,
+    counted per market segment (LeftAnti)."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # Events: time windowing + sessionization
 # ---------------------------------------------------------------------------
@@ -918,6 +963,8 @@ QUERIES = {
     "top_revenue_orders": q_top_revenue_orders,
     "region_revenue": q_region_revenue,
     "orders_topk_window": q_orders_topk_window,
+    "orders_with_returns": q_orders_with_returns,
+    "customers_without_orders": q_customers_without_orders,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
     "text_stats": q_text_stats,
@@ -947,6 +994,8 @@ def oracle_sqls() -> dict[str, str]:
         "top_revenue_orders": SQL_TOP_REVENUE,
         "region_revenue": SQL_REGION_REVENUE,
         "orders_topk_window": SQL_ORDERS_TOPK,
+        "orders_with_returns": SQL_ORDERS_WITH_RETURNS,
+        "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "text_stats": SQL_TEXT_STATS,
