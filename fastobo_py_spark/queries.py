@@ -738,10 +738,23 @@ def _corpus_df(spark: SparkSession) -> DataFrame:
     return corpus_df(spark, partitions=8, **_CORPUS_KW)
 
 
+# ~20 OBO queries share the same 200-doc synthetic parse; memoize the
+# (eagerly filled) clause cache per session so the contract harness parses
+# once instead of once per query.
+_CLAUSES_CACHE: dict = {}
+
+
 def _clauses(spark: SparkSession) -> DataFrame:
     from fastobo_py_spark.operators.parse import parse_corpus, split_parsed
 
+    key = id(spark)
+    cached = _CLAUSES_CACHE.get(key)
+    if cached is not None:
+        return cached
     cl, _ = split_parsed(parse_corpus(_corpus_df(spark)))
+    cl = cl.persist()
+    cl.count()
+    _CLAUSES_CACHE[key] = cl
     return cl
 
 
