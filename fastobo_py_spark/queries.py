@@ -747,7 +747,7 @@ _CLAUSES_CACHE: dict = {}
 def _clauses(spark: SparkSession) -> DataFrame:
     from fastobo_py_spark.operators.parse import parse_corpus, split_parsed
 
-    key = id(spark)
+    key = spark.sparkContext.applicationId  # unique per session (id() can be GC-reused)
     cached = _CLAUSES_CACHE.get(key)
     if cached is not None:
         return cached
