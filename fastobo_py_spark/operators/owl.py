@@ -1,0 +1,127 @@
+"""OWL 2 functional-syntax export — best-effort parity with
+``fastobo.dump_owl`` (``/root/reference/src/py/mod.rs:425-470``, which the
+reference itself labels experimental/best-effort via fastobo-owl).
+
+Scope: the structural core of the OBO→OWL2-DL mapping
+(https://w3.org/TR/owl2-syntax/ + the OBO 1.4 spec's OWL mapping table):
+
+  Term frame            → Declaration(Class(IRI))
+  Typedef frame         → Declaration(ObjectProperty(IRI))
+  name:                 → AnnotationAssertion(rdfs:label IRI "...")
+  def:                  → AnnotationAssertion(obo:IAO_0000115 IRI "...")
+  is_obsolete: true     → AnnotationAssertion(owl:deprecated IRI "true"^^xsd:boolean)
+  is_a: (Term)          → SubClassOf(sub super)
+  relationship: R T     → SubClassOf(sub ObjectSomeValuesFrom(R T))
+
+Everything is one projection + one per-document sort/concat aggregation —
+the same Spark shape as the OBO serializer. Axiom lines are emitted
+sorted, so output is deterministic and diffable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fastobo_py_spark.operators.idents import decompact_prefixed
+
+_RDFS_LABEL = "rdfs:label"
+_IAO_DEF = "<http://purl.obolibrary.org/obo/IAO_0000115>"
+
+
+def _iri(col):
+    """Ident → OWL IRI reference (decompact via the OBO PURL rule,
+    wrap URLs in <>; unprefixed idents stay as local abbreviations)."""
+    url = decompact_prefixed(col)
+    return F.when(url.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), F.concat(F.lit("<"), url, F.lit(">"))).otherwise(
+        col
+    )
+
+
+def _quote(col):
+    return F.concat(F.lit('"'), F.regexp_replace(F.regexp_replace(col, r"\\", r"\\\\"), '"', '\\\\"'), F.lit('"'))
+
+
+def owl_axioms(clauses: DataFrame) -> DataFrame:
+    """Clause rows → (doc_sha, axiom) — one OWL functional-syntax axiom
+    per row, from one single-scan case projection."""
+    ent = clauses.where((F.col("frame_type") != "Header") & (F.col("frame_id") != ""))
+    t, v1, v2, vt = F.col("tag"), F.col("v1"), F.col("v2"), F.col("value_text")
+    me = _iri(F.col("frame_id"))
+    is_typedef = F.col("frame_type") == "Typedef"
+    is_instance = F.col("frame_type") == "Instance"
+    axiom = (
+        F.when(
+            t == "id",
+            F.when(is_typedef, F.concat(F.lit("Declaration(ObjectProperty("), me, F.lit("))")))
+            .when(is_instance, F.concat(F.lit("Declaration(NamedIndividual("), me, F.lit("))")))
+            .otherwise(F.concat(F.lit("Declaration(Class("), me, F.lit("))"))),
+        )
+        .when(
+            (t == "instance_of") & v1.isNotNull(),
+            F.concat(F.lit("ClassAssertion("), _iri(v1), F.lit(" "), me, F.lit(")")),
+        )
+        .when(
+            (t == "name") & vt.isNotNull(),
+            F.concat(F.lit(f"AnnotationAssertion({_RDFS_LABEL} "), me, F.lit(" "), _quote(vt), F.lit(")")),
+        )
+        .when(
+            (t == "def") & vt.isNotNull(),
+            F.concat(F.lit(f"AnnotationAssertion({_IAO_DEF} "), me, F.lit(" "), _quote(vt), F.lit(")")),
+        )
+        .when(
+            (t == "is_obsolete") & (v1 == "true"),
+            F.concat(F.lit("AnnotationAssertion(owl:deprecated "), me, F.lit(' "true"^^xsd:boolean)')),
+        )
+        .when(
+            (t == "is_a") & v1.isNotNull() & ~is_typedef,
+            F.concat(F.lit("SubClassOf("), me, F.lit(" "), _iri(v1), F.lit(")")),
+        )
+        .when(
+            (t == "is_a") & v1.isNotNull() & is_typedef,
+            F.concat(F.lit("SubObjectPropertyOf("), me, F.lit(" "), _iri(v1), F.lit(")")),
+        )
+        .when(
+            (t == "relationship") & v1.isNotNull() & v2.isNotNull(),
+            F.concat(
+                F.lit("SubClassOf("),
+                me,
+                F.lit(" ObjectSomeValuesFrom("),
+                _iri(v1),
+                F.lit(" "),
+                _iri(v2),
+                F.lit("))"),
+            ),
+        )
+    )
+    return ent.select("doc_sha", axiom.alias("axiom")).where(F.col("axiom").isNotNull())
+
+
+def dump_owl_functional(clauses: DataFrame) -> DataFrame:
+    """(doc_sha, owl_text): one OWL functional-syntax document per source
+    doc — Prefix/Ontology wrapper around the sorted axiom list."""
+    hdr_ont = (
+        clauses.where((F.col("frame_type") == "Header") & (F.col("tag") == "ontology"))
+        .groupBy("doc_sha")
+        .agg(F.min("value_text").alias("ont"))
+    )
+    body = (
+        owl_axioms(clauses)
+        .groupBy("doc_sha")
+        .agg(F.concat_ws("\n", F.sort_array(F.collect_list("axiom"))).alias("axioms"))
+    )
+    joined = body.join(hdr_ont, "doc_sha", "left")
+    preamble = (
+        "Prefix(owl:=<http://www.w3.org/2002/07/owl#>)\n"
+        "Prefix(rdfs:=<http://www.w3.org/2000/01/rdf-schema#>)\n"
+        "Prefix(xsd:=<http://www.w3.org/2001/XMLSchema#>)\n"
+    )
+    ont_iri = F.concat(
+        F.lit("<http://purl.obolibrary.org/obo/"), F.coalesce(F.col("ont"), F.col("doc_sha")), F.lit(".owl>")
+    )
+    return joined.select(
+        "doc_sha",
+        F.concat(
+            F.lit(preamble), F.lit("Ontology("), ont_iri, F.lit("\n"), F.col("axioms"), F.lit("\n)")
+        ).alias("owl_text"),
+    )

@@ -1538,8 +1538,52 @@ def sql_obo_pipeline_resume() -> str:
     return _values_sql(sorted(out), ["metric", "value"])
 
 
+def q_obo_owl_axioms(spark: SparkSession, sf: str) -> DataFrame:
+    """dump_owl parity (best-effort OBO→OWL2-DL mapping like the
+    reference's experimental fastobo-owl path): axiom counts per kind."""
+    from fastobo_py_spark.operators.owl import owl_axioms
+
+    ax = owl_axioms(_clauses(spark))
+    return (
+        ax.groupBy(F.substring_index("axiom", "(", 1).alias("kind"))
+        .agg(F.count("*").alias("n_axioms"))
+        .orderBy("kind")
+    )
+
+
+def sql_obo_owl_axioms() -> str:
+    from collections import Counter
+
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    clauses, _ = oracle.parse_rows(generate_corpus(**_CORPUS_KW))
+    counts: Counter = Counter()
+    for c in clauses:
+        ftype, fid, tag = c[3], c[3 + 1], c[3 + 4]
+        v1, v2, vt = c[3 + 5], c[3 + 6], c[3 + 7]
+        if ftype == "Header" or not fid:
+            continue
+        if tag == "id":
+            counts["Declaration"] += 1
+        elif tag == "instance_of" and v1:
+            counts["ClassAssertion"] += 1
+        elif tag == "name" and vt is not None:
+            counts["AnnotationAssertion"] += 1
+        elif tag == "def" and vt is not None:
+            counts["AnnotationAssertion"] += 1
+        elif tag == "is_obsolete" and v1 == "true":
+            counts["AnnotationAssertion"] += 1
+        elif tag == "is_a" and v1:
+            counts["SubObjectPropertyOf" if ftype == "Typedef" else "SubClassOf"] += 1
+        elif tag == "relationship" and v1 and v2:
+            counts["SubClassOf"] += 1
+    return _values_sql(sorted(counts.items()), ["kind", "n_axioms"])
+
+
 QUERIES.update(
     {
+        "obo_owl_axioms": q_obo_owl_axioms,
         "obo_creation_dates": q_obo_creation_dates,
         "obo_frame_dicts": q_obo_frame_dicts,
         "obo_missing_clauses": q_obo_missing_clauses,
@@ -1553,6 +1597,7 @@ _BASE4 = oracle_sqls
 
 def oracle_sqls() -> dict[str, str]:  # noqa: F811
     out = _BASE4()
+    out["obo_owl_axioms"] = sql_obo_owl_axioms()
     out["obo_creation_dates"] = sql_obo_creation_dates()
     out["obo_frame_dicts"] = sql_obo_frame_dicts()
     out["obo_missing_clauses"] = sql_obo_missing_clauses()

@@ -264,3 +264,18 @@ def test_multimodal_strict_by_default(spark):
     with pytest.raises(Exception) as ei:
         extract_features(media).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+def test_owl_functional_dump(spark, clauses):
+    from fastobo_py_spark.operators.owl import dump_owl_functional
+
+    docs = {r["doc_sha"]: r["owl_text"] for r in dump_owl_functional(clauses).collect()}
+    assert len(docs) == 40
+    for text in docs.values():
+        assert text.startswith("Prefix(owl:=")
+        assert "Ontology(<http://purl.obolibrary.org/obo/" in text
+        assert text.rstrip().endswith(")")
+        assert "Declaration(" in text
+    one = next(t for t in docs.values() if "NamedIndividual" in t)
+    assert "ClassAssertion(" in one
+    assert "SubClassOf(" in one
