@@ -1001,7 +1001,7 @@ QUERIES = {
 }
 
 
-def oracle_sqls() -> dict[str, str]:
+def _static_oracle_sqls() -> dict[str, str]:
     return {
         "pricing_summary": SQL_PRICING,
         "top_revenue_orders": SQL_TOP_REVENUE,
@@ -1121,14 +1121,6 @@ def sql_obo_frame_diff() -> str:
 # late registrations (defined below the base registry)
 QUERIES["obo_url_compaction"] = q_obo_url_compaction
 QUERIES["obo_frame_diff"] = q_obo_frame_diff
-_BASE_ORACLE_SQLS = oracle_sqls
-
-
-def oracle_sqls() -> dict[str, str]:  # noqa: F811 — extends the base registry
-    out = _BASE_ORACLE_SQLS()
-    out["obo_url_compaction"] = sql_obo_url_compaction()
-    out["obo_frame_diff"] = sql_obo_frame_diff()
-    return out
 
 
 def q_obo_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
@@ -1172,13 +1164,6 @@ def sql_obo_roundtrip() -> str:
 
 
 QUERIES["obo_serializer_roundtrip"] = q_obo_roundtrip
-_BASE2 = oracle_sqls
-
-
-def oracle_sqls() -> dict[str, str]:  # noqa: F811
-    out = _BASE2()
-    out["obo_serializer_roundtrip"] = sql_obo_roundtrip()
-    return out
 
 
 def q_obo_hub_degrees(spark: SparkSession, sf: str) -> DataFrame:
@@ -1213,13 +1198,6 @@ def sql_obo_hub_degrees() -> str:
 
 
 QUERIES["obo_hub_degrees"] = q_obo_hub_degrees
-_BASE3 = oracle_sqls
-
-
-def oracle_sqls() -> dict[str, str]:  # noqa: F811
-    out = _BASE3()
-    out["obo_hub_degrees"] = sql_obo_hub_degrees()
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1592,16 +1570,25 @@ QUERIES.update(
         "obo_pipeline_resume": q_obo_pipeline_resume,
     }
 )
-_BASE4 = oracle_sqls
+# Generated oracles run the pure-Python second implementation at call
+# time — assembled in ONE place so queries() and oracle_sqls() can't
+# drift apart (test_every_query_has_oracle pins the key sets).
+_GENERATED_ORACLES = {
+    "obo_url_compaction": sql_obo_url_compaction,
+    "obo_frame_diff": sql_obo_frame_diff,
+    "obo_serializer_roundtrip": sql_obo_roundtrip,
+    "obo_hub_degrees": sql_obo_hub_degrees,
+    "obo_owl_axioms": sql_obo_owl_axioms,
+    "obo_creation_dates": sql_obo_creation_dates,
+    "obo_frame_dicts": sql_obo_frame_dicts,
+    "obo_missing_clauses": sql_obo_missing_clauses,
+    "obo_ident_validity": sql_obo_ident_validity,
+    "obo_graph_roundtrip": sql_obo_graph_roundtrip,
+    "obo_pipeline_resume": sql_obo_pipeline_resume,
+}
 
 
-def oracle_sqls() -> dict[str, str]:  # noqa: F811
-    out = _BASE4()
-    out["obo_owl_axioms"] = sql_obo_owl_axioms()
-    out["obo_creation_dates"] = sql_obo_creation_dates()
-    out["obo_frame_dicts"] = sql_obo_frame_dicts()
-    out["obo_missing_clauses"] = sql_obo_missing_clauses()
-    out["obo_ident_validity"] = sql_obo_ident_validity()
-    out["obo_graph_roundtrip"] = sql_obo_graph_roundtrip()
-    out["obo_pipeline_resume"] = sql_obo_pipeline_resume()
+def oracle_sqls() -> dict[str, str]:
+    out = _static_oracle_sqls()
+    out.update({name: build() for name, build in _GENERATED_ORACLES.items()})
     return out
