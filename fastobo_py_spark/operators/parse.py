@@ -56,14 +56,34 @@ def _assert_is_obo(clause_rows) -> None:
 
 
 def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: (repo, path, content) batches → clause/error rows."""
+    """mapInPandas kernel: (repo, path, content[, content_gz]) batches →
+    clause/error rows.
+
+    ``content_gz`` (binary, gzip) is the table-native analogue of the
+    reference's gzip file adapter (``fastobo.load`` sniffing magic bytes,
+    ``src/py/mod.rs:110-146``): decompressed inside the kernel, so
+    compressed corpora never materialize plaintext in the JVM. A row
+    whose gzip payload is corrupt quarantines like any parse error.
+    """
+    import gzip
+
     for pdf in batches:
         out: list[tuple] = []
         repos = pdf["repo"].to_numpy()
         paths = pdf["path"].to_numpy()
         contents = pdf["content"].to_numpy()
+        gzs = pdf["content_gz"].to_numpy() if "content_gz" in pdf.columns else None
         for i in range(len(pdf)):
             content = contents[i]
+            if content is None and gzs is not None and gzs[i] is not None:
+                try:
+                    content = gzip.decompress(bytes(gzs[i])).decode("utf-8")
+                except Exception as e:
+                    sha = hashlib.sha256(bytes(gzs[i])).hexdigest()
+                    out.append(
+                        (sha, repos[i], paths[i]) + _EMPTY_CLAUSE + (True, type(e).__name__, str(e), None)
+                    )
+                    continue
             if content is None:
                 continue
             sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
@@ -89,10 +109,17 @@ def parse_corpus(corpus: DataFrame, pre_filter: bool = True) -> DataFrame:
     every other column out of the scan (check ReadSchema in .explain()).
     """
     df = corpus
+    has_gz = "content_gz" in corpus.columns
     if pre_filter:
         lang = F.col("lang") if "lang" in corpus.columns else None
-        df = df.where(is_obo_document(F.col("content"), lang))
-    df = df.select("repo", "path", "content")
+        sniff = is_obo_document(F.col("content"), lang)
+        if has_gz:
+            # compressed rows can't be content-sniffed JVM-side; let the
+            # kernel decide (lang tag still prunes when present)
+            sniff = sniff | F.col("content_gz").isNotNull()
+        df = df.where(sniff)
+    cols = ["repo", "path", "content"] + (["content_gz"] if has_gz else [])
+    df = df.select(*cols)
     return df.mapInPandas(_parse_batches, schema=PARSE_OUTPUT_SCHEMA)
 
 

@@ -213,3 +213,31 @@ def test_canonical_edges_shuffle_hash_vs_oracle(spark, clauses, corpus_rows):
     want = oracle.edge_key_set(oracle.build_edges(corpus_rows, canonicalize=True))
     p, r = oracle.precision_recall(got, want)
     assert (p, r) == (1.0, 1.0), f"precision={p} recall={r}"
+
+
+def test_gzip_content_adapter(spark):
+    """content_gz (binary, gzip) rows parse identically to their plain
+    twins — the reference's gzip adapter, table-native; corrupt payloads
+    quarantine instead of failing the stage."""
+    import gzip
+
+    from fastobo_py_spark.operators.parse import parse_corpus, split_parsed
+    from fastobo_py_spark.sources.corpus import make_ms_like
+
+    text = make_ms_like(0)
+    rows = [
+        ("r", "plain.obo", "c", "OBO", text, None),
+        ("r", "packed.obo.gz", "c", "OBO", None, bytearray(gzip.compress(text.encode()))),
+        ("r", "broken.obo.gz", "c", "OBO", None, bytearray(b"\x1f\x8b not really gzip")),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string, content_gz binary"
+    )
+    clauses, quarantine = split_parsed(parse_corpus(df))
+    per_path = {r["path"]: r["n"] for r in clauses.groupBy("path").agg(F.count("*").alias("n")).collect()}
+    assert per_path["plain.obo"] == per_path["packed.obo.gz"] > 0
+    # same decompressed content -> same doc_sha (the per-row invariant)
+    shas = {r["doc_sha"] for r in clauses.select("doc_sha").distinct().collect()}
+    assert len(shas) == 1
+    q = quarantine.collect()
+    assert len(q) == 1 and q[0]["path"] == "broken.obo.gz"
