@@ -101,6 +101,16 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
         return None
 
 
+def _with_doc_sha(corpus: DataFrame) -> DataFrame:
+    """Manifest key: sha256(content) per the input_hint invariant; rows
+    carrying only gzip payloads key on sha256(content_gz) — equally
+    deterministic across restarts, computed JVM-side either way."""
+    sha = F.sha2(F.col("content"), 256)
+    if "content_gz" in corpus.columns:
+        sha = F.coalesce(sha, F.sha2(F.col("content_gz"), 256))
+    return corpus.withColumn("doc_sha", sha)
+
+
 def pending_corpus(spark: SparkSession, corpus: DataFrame, out_dir: str) -> DataFrame:
     """Anti-join the corpus against the manifest: only unprocessed rows.
 
@@ -108,7 +118,7 @@ def pending_corpus(spark: SparkSession, corpus: DataFrame, out_dir: str) -> Data
     BEFORE anything crosses into Python. left_anti on (sha, repo, path,
     commit) — the per-row invariant key from BASELINE.json input_hint.
     """
-    withsha = corpus.withColumn("doc_sha", F.sha2(F.col("content"), 256))
+    withsha = _with_doc_sha(corpus)
     manifest = read_manifest(spark, out_dir)
     if manifest is None:
         return withsha
@@ -136,10 +146,11 @@ def run_pipeline(
     t0 = time.time()
     batch_id = uuid.uuid4().hex[:12]
 
-    src = pending_corpus(spark, corpus, out_dir) if resume else corpus.withColumn(
-        "doc_sha", F.sha2(F.col("content"), 256)
+    src = pending_corpus(spark, corpus, out_dir) if resume else _with_doc_sha(corpus)
+    keep = ["repo", "path", "commit", "lang", "content", "doc_sha"] + (
+        ["content_gz"] if "content_gz" in src.columns else []
     )
-    src = src.select("repo", "path", "commit", "lang", "content", "doc_sha")
+    src = src.select(*keep)
 
     # Metrics ride on the write actions via Observation — counting after
     # the fact re-executed the whole macro/rewrite/CC chain (the job did

@@ -241,3 +241,28 @@ def test_gzip_content_adapter(spark):
     assert len(shas) == 1
     q = quarantine.collect()
     assert len(q) == 1 and q[0]["path"] == "broken.obo.gz"
+
+
+def test_pipeline_resume_with_gzip_rows(spark):
+    """Resume manifest keys gzip-only rows on sha256(content_gz): a
+    mixed plain+gz corpus processes once, and a rerun is a no-op."""
+    import gzip
+
+    from fastobo_py_spark.plans.pipeline import run_pipeline
+    from fastobo_py_spark.sources.corpus import make_pato_like
+
+    rows = [
+        ("r", "a.obo", "c", "OBO", make_pato_like(1), None),
+        ("r", "b.obo.gz", "c", "OBO", None, bytearray(gzip.compress(make_pato_like(2).encode()))),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string, content_gz binary"
+    )
+    out = tempfile.mkdtemp(prefix="kg_gz_")
+    try:
+        m1 = run_pipeline(spark, df, out)
+        assert m1["docs_in_batch"] == 2 and m1["edges"] > 0
+        m2 = run_pipeline(spark, df, out)
+        assert m2["docs_in_batch"] == 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
