@@ -15,9 +15,13 @@ Reference semantics being reproduced:
     xref rows whose object prefix matches the macro idspace.
 
 Scale notes: the alias and redirect maps are proportional to the number of
-*declared aliases*, orders of magnitude smaller than the edge table — both
-are broadcast; the edge rewrite is a map-side join, no shuffle of edges.
-Macro lists are per-document header metadata — also broadcast.
+*declared aliases*, orders of magnitude smaller than the edge table; macro
+lists are per-document header metadata. Two join strategies throughout:
+``auto`` size-gates a broadcast (map-side join, sort-merge fallback), and
+``shuffle_hash`` — the 10^12-file production default — joins every dim
+against the clause cache's doc_sha hash partitioning with zero exchanges
+of the edge table and zero driver materialization (the resolution map
+itself shards per document via ``applyInPandas``).
 """
 
 from __future__ import annotations
