@@ -255,6 +255,36 @@ ORDER BY user_id, session_ix
 """
 
 
+def q_events_props_json(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured extraction: parse the props JSON column and profile
+    the extracted key per event type (get_json_object stays JVM-side)."""
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_PROPS = """
+SELECT event_type,
+       count(k) AS n_with_k,
+       sum(k)   AS sum_k,
+       min(k)   AS min_k,
+       max(k)   AS max_k
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (documents table)
 # ---------------------------------------------------------------------------
@@ -980,6 +1010,7 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
+    "events_props_json": q_events_props_json,
     "text_stats": q_text_stats,
     "text_tokens": q_text_tokens,
     "quality_by_source": q_quality_by_lang,
@@ -1011,6 +1042,7 @@ def _static_oracle_sqls() -> dict[str, str]:
         "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "events_props_json": SQL_EVENTS_PROPS,
         "text_stats": SQL_TEXT_STATS,
         "text_tokens": SQL_TEXT_TOKENS,
         "quality_by_source": SQL_QUALITY_BY_LANG,
