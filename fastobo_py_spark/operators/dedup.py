@@ -8,18 +8,20 @@ Scale design
 * MinHash+LSH: shingle → per-hash min-aggregate → band → bucket self-join.
   Every stage is a narrow projection or a partial-aggregating groupBy;
   the candidate self-join is on the band hash (high selectivity), never
-  an all-pairs product. Signature hashes are ``min(md5(i || shingle))``
-  as hex strings — min over a fixed-length hex string equals min over the
-  number, and md5 is engine-portable so the DuckDB oracle matches exactly.
+  an all-pairs product. Signatures use Carter–Wegman double hashing
+  (one md5 per shingle, h_i = a + i*b over its 32-bit halves) — BIGINT
+  exact in both engines, so the DuckDB oracle matches bit-for-bit.
 * SimHash: 60-bit fingerprint (15 hex chars fit a signed BIGINT in both
-  engines). The default implementation is pure SQL expressions
-  (token × 60-bit explode); at 100 TB you'd swap in the numpy variant
-  below (same output, asserted in tests) via mapInPandas.
+  engines) as pure SQL expressions (token × 60-bit explode); near-dup
+  pairs via Hamming-band self-join, EXACT recall for d ≤ bands−1 by
+  pigeonhole.
 * n-gram Jaccard: exact verification on LSH candidates only — the
   classic two-stage near-dup pipeline (candidates from LSH, exact
-  similarity only on the candidate set).
-* embedding near-dup: cosine over all pairs is for oracle-scale; the
-  scale path buckets by random-hyperplane LSH first (similarity.py).
+  similarity only on the candidate set); duplicate GROUPS from
+  connected components over the verified pairs.
+* embedding near-dup: cosine over all pairs is the oracle-scale
+  baseline; the scale path is AND-OR random-hyperplane LSH (bucket
+  equi-join per table) with exact-cosine verification.
 """
 
 from __future__ import annotations
