@@ -266,3 +266,17 @@ def test_pipeline_resume_with_gzip_rows(spark):
         assert m2["docs_in_batch"] == 0
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_canonical_edges_auto_matches_shuffle_hash(spark, clauses, corpus_rows):
+    """Both join strategies of the shared flow produce the oracle set."""
+    from fastobo_py_spark.plans.pipeline import canonical_edges
+
+    cl = clauses.repartition(4, "doc_sha")
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["doc_sha"])
+        for r in canonical_edges(cl, strategy="auto").collect()
+    }
+    want = oracle.edge_key_set(oracle.build_edges(corpus_rows, canonicalize=True))
+    p, r = oracle.precision_recall(got, want)
+    assert (p, r) == (1.0, 1.0), f"precision={p} recall={r}"
