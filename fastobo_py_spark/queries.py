@@ -568,6 +568,86 @@ ORDER BY component
 """
 
 
+def q_corpus_keep_list(spark: SparkSession, sf: str) -> DataFrame:
+    """The curation end-product: every doc classified kept /
+    drop_low_quality / drop_near_dup with fixed precedence (quality
+    first, then near-dup non-representatives). Composes the quality
+    scorer, the two-stage MinHash→Jaccard pipeline, and the duplicate
+    clusters into the keep-one-per-group decision a training-data
+    pipeline actually ships."""
+    docs = load_table(spark, sf, "documents")
+    stats = X.text_stats(docs).select("doc_id", "quality_ppm")
+    pairs = D.ngram_jaccard_pairs(docs, min_jaccard=0.5).select(
+        F.format_string("%010d", F.col("doc_a")).alias("doc_a"),
+        F.format_string("%010d", F.col("doc_b")).alias("doc_b"),
+    )
+    comps = D.duplicate_clusters(pairs).withColumnRenamed("id", "pid")
+    classified = (
+        stats.withColumn("pid", F.format_string("%010d", F.col("doc_id")))
+        .join(comps, "pid", "left")
+        .select(
+            F.when(F.col("quality_ppm") < 400_000, F.lit("drop_low_quality"))
+            .when(F.col("component").isNotNull() & (F.col("pid") != F.col("component")), F.lit("drop_near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("reason")
+        )
+    )
+    return classified.groupBy("reason").agg(F.count("*").alias("n_docs")).orderBy("reason")
+
+
+def sql_corpus_keep_list() -> str:
+    return f"""
+WITH RECURSIVE sigs AS ({_SIG}),
+bands AS ({_BANDS}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r ON l.band_ix = r.band_ix AND l.band_hash = r.band_hash
+  WHERE l.doc_id < r.doc_id
+),
+sh AS (SELECT doc_id, unnest(shs) AS sh FROM ({_SH})),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_int
+  FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id AND a.sh = b.sh
+  GROUP BY c.doc_a, c.doc_b
+),
+pairs AS (
+  SELECT lpad(i.doc_a::VARCHAR, 10, '0') AS a, lpad(i.doc_b::VARCHAR, 10, '0') AS b
+  FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE round(n_int::DOUBLE / (sa.n_sh + sb.n_sh - n_int), 6) >= 0.5
+),
+sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
+),
+comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+base AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ltoks
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         CAST(floor((0.4 * least(len(toks) / 64.0, 1.0)
+             + 0.3 * least(len(list_filter(ltoks, x -> x IN ({_EN}))) / 4.0, 1.0)
+             + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                           / greatest(length(text), 1))) * 1000000) AS BIGINT) AS quality_ppm
+  FROM base
+)
+SELECT reason, count(*) AS n_docs FROM (
+  SELECT CASE WHEN q.quality_ppm < 400000 THEN 'drop_low_quality'
+              WHEN c.component IS NOT NULL AND c.id <> c.component THEN 'drop_near_dup'
+              ELSE 'kept' END AS reason
+  FROM q LEFT JOIN comp c ON lpad(q.doc_id::VARCHAR, 10, '0') = c.id
+) GROUP BY reason ORDER BY reason
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return D.simhash(docs).orderBy("doc_id")
@@ -1016,6 +1096,7 @@ QUERIES = {
     "quality_by_source": q_quality_by_lang,
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
+    "corpus_keep_list": q_corpus_keep_list,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
@@ -1048,6 +1129,7 @@ def _static_oracle_sqls() -> dict[str, str]:
         "quality_by_source": SQL_QUALITY_BY_LANG,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "corpus_keep_list": sql_corpus_keep_list(),
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
