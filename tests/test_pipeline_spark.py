@@ -280,3 +280,26 @@ def test_canonical_edges_auto_matches_shuffle_hash(spark, clauses, corpus_rows):
     want = oracle.edge_key_set(oracle.build_edges(corpus_rows, canonicalize=True))
     p, r = oracle.precision_recall(got, want)
     assert (p, r) == (1.0, 1.0), f"precision={p} recall={r}"
+
+
+def test_canonical_edges_larger_corpus_vs_oracle(spark):
+    """Size-robustness: 2x docs at 2x doc_scale (≈4x clause rows, multiple
+    partitions per family) still matches the oracle exactly — guards
+    partition-boundary and scale-dependent bugs the default-size fixtures
+    can't see."""
+    from fastobo_py_spark.plans.pipeline import canonical_edges
+    from fastobo_py_spark.schema import CORPUS_SCHEMA
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    rows = generate_corpus(n_obo=80, n_noise=20, n_broken=2, doc_scale=2)
+    corpus = spark.createDataFrame(rows, schema=CORPUS_SCHEMA).repartition(8)
+    from fastobo_py_spark.operators.parse import parse_corpus, split_parsed
+
+    cl, _ = split_parsed(parse_corpus(corpus))
+    cl = cl.repartition(8, "doc_sha")
+    e = canonical_edges(cl, strategy="shuffle_hash")
+    got = {(r["subj"], r["pred"], r["obj"], r["doc_sha"]) for r in e.collect()}
+    want = oracle.edge_key_set(oracle.build_edges(rows, canonicalize=True))
+    p, r = oracle.precision_recall(got, want)
+    assert (p, r) == (1.0, 1.0), f"precision={p} recall={r}"
+    assert len(got) > 8000  # genuinely larger than the default corpus
