@@ -9,9 +9,16 @@ Extra keys:
   obo_files_per_sec — throughput of the OBO→KG pipeline (parse + triples +
   canonicalization) over a synthesized corpus, the BASELINE.json metric.
 
---scaling: run the OBO pipeline at two parallelism levels (local[8] vs
-local[32]) on the same input and report throughput + scaling efficiency —
-the sandbox proxy for the N vs 4N executor requirement (north_rule).
+--scaling: run the OBO pipeline at two parallelism levels (default
+local[4] vs local[16]; $SPARK_GRAFT_SCALE_N overrides N) on the same
+input and report throughput + scaling efficiency — the sandbox proxy for
+the N vs 4N executor requirement (north_rule). N=4 because local[k]
+schedules k JVM task threads PLUS k Python workers: 8v32 would put 64
+hot threads on the 32-core host and measure oversubscription, not scaling.
+
+Warm-up convention (BENCH.md): every timed leg measures steady-state
+dataflow, not one-time JVM/py-worker/codegen startup — the SQL leg warms
+each query once at sf0.001, the OBO leg on a 30-file corpus, before timing.
 """
 
 from __future__ import annotations
@@ -115,6 +122,13 @@ def run_bench() -> dict:
     from fastobo_py_spark.session import get_spark
 
     spark = get_spark(app_name="fastobo-py-spark-bench", master=f"local[{CPUS}]")
+    # symmetric warm-up (see module docstring): run each headline query
+    # once at the smallest SF so the timed run below measures the
+    # dataflow, not first-touch codegen/py-worker startup
+    warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir) and warm_dir != SF_DIR.rstrip("/"):
+        for name in HEADLINE:
+            Q.QUERIES[name](spark, warm_dir).count()
     timings = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]
@@ -154,7 +168,8 @@ def _pipeline_from_parquet(spark, corpus_dir: str, n_files: int) -> dict:
 
 
 def run_scaling() -> dict:
-    """Same OBO job, same on-disk input, at local[8] and local[32].
+    """Same OBO job, same on-disk input, at local[N] and local[4N]
+    (default N=4 → local[4] vs local[16]; see module docstring).
 
     The corpus is sized so the parallelizable work (parse UDF + edge
     shuffles) dominates fixed per-job latency — the honest proxy for the

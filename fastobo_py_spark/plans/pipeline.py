@@ -37,7 +37,9 @@ MANIFEST_COLS = ("doc_sha", "repo", "path", "commit")
 EDGE_KEY = ["subj", "pred", "obj", "doc_sha"]
 
 
-def canonical_edges(clauses: DataFrame, strategy: str = "shuffle_hash") -> DataFrame:
+def canonical_edges(
+    clauses: DataFrame, strategy: str = "shuffle_hash", persisted_out: list | None = None
+) -> DataFrame:
     """Clause rows → canonicalized, per-doc-deduped edge table.
 
     strategy='shuffle_hash' (the 10^12-file default): every dimension —
@@ -48,6 +50,12 @@ def canonical_edges(clauses: DataFrame, strategy: str = "shuffle_hash") -> DataF
     builds, so the job's serial fraction is two job submissions no matter
     the corpus size. strategy='auto' keeps the scale-adaptive driver
     shortcuts + gated broadcasts (fastest for interactive small corpora).
+
+    ``persisted_out``: internal caches (dims / resolution map / component
+    labels) are appended here so the caller can ``unpersist()`` them once
+    the edge table is materialized. Long-lived sessions — above all the
+    streaming path, which enters once per micro-batch — MUST pass a list
+    and clean up, or the CacheManager accumulates three relations per call.
     """
     from fastobo_py_spark.operators.canonicalize import (
         extract_edges_with_macros,
@@ -67,6 +75,8 @@ def canonical_edges(clauses: DataFrame, strategy: str = "shuffle_hash") -> DataF
         (F.col("frame_type") == "Header")
         | F.col("tag").isin("alt_id", "replaced_by", "equivalent_to", "xref")
     ).persist()
+    if persisted_out is not None:
+        persisted_out.append(dims)
     if shj:
         # eager fill: the res/comps/macro branches otherwise race to
         # compute the same cache partitions and serialize on block locks
@@ -78,9 +88,13 @@ def canonical_edges(clauses: DataFrame, strategy: str = "shuffle_hash") -> DataF
         # the map feeds 4 joins (pair src/dst, edge subj/obj): a tiny
         # cache beats re-running the applyInPandas composition per branch
         res = res.persist()
+        if persisted_out is not None:
+            persisted_out.append(res)
     comps = equivalence_components_from_clauses(dims, resolution=res, strategy=strategy)
     if shj:
         comps = comps.persist()
+        if persisted_out is not None:
+            persisted_out.append(comps)
     # macro synthesis is FUSED into the extraction pass (no union) so the
     # clause cache's doc_sha partitioning survives to the final dedup
     e = extract_edges_with_macros(clauses, strategy=strategy, macro_source=dims)
@@ -104,11 +118,24 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
 def _with_doc_sha(corpus: DataFrame) -> DataFrame:
     """Manifest key: sha256(content) per the input_hint invariant; rows
     carrying only gzip payloads key on sha256(content_gz) — equally
-    deterministic across restarts, computed JVM-side either way."""
+    deterministic across restarts, computed JVM-side either way.
+
+    ``payload_sha`` (sha256 of the compressed bytes, null for plaintext
+    rows) rides along into the manifest so both identities are recorded:
+    ``doc_sha`` stays the restart-stable anti-join key, while analysts can
+    tell a gz-keyed manifest row (doc_sha == payload_sha) from a
+    plaintext-keyed one and join gz rows back to their payloads. (For
+    successfully-parsed gz rows the OUTPUT tables key on the decompressed
+    plaintext sha — recomputing that here would mean gunzipping in the
+    resume anti-join path, defeating its JVM-side pruning; the trade is
+    deliberate and the two identities are both recorded.)
+    """
     sha = F.sha2(F.col("content"), 256)
+    payload = F.lit(None).cast("string")
     if "content_gz" in corpus.columns:
-        sha = F.coalesce(sha, F.sha2(F.col("content_gz"), 256))
-    return corpus.withColumn("doc_sha", sha)
+        payload = F.sha2(F.col("content_gz"), 256)
+        sha = F.coalesce(sha, payload)
+    return corpus.withColumn("doc_sha", sha).withColumn("payload_sha", payload)
 
 
 def pending_corpus(spark: SparkSession, corpus: DataFrame, out_dir: str) -> DataFrame:
@@ -117,13 +144,22 @@ def pending_corpus(spark: SparkSession, corpus: DataFrame, out_dir: str) -> Data
     The sha is computed JVM-side (F.sha2) so the anti-join prunes rows
     BEFORE anything crosses into Python. left_anti on (sha, repo, path,
     commit) — the per-row invariant key from BASELINE.json input_hint.
+
+    The manifest grows with every document ever processed — at the
+    10^12-file design point it IS the corpus catalog, far past any sane
+    broadcast. ``gated_broadcast`` hints the build side only while it is
+    provably small (one bounded limit-count probe on the manifest scan);
+    above the threshold the anti-join falls back to a shuffle join, which
+    is the correct plan for a catalog-sized build side.
     """
+    from fastobo_py_spark.operators.hints import gated_broadcast
+
     withsha = _with_doc_sha(corpus)
     manifest = read_manifest(spark, out_dir)
     if manifest is None:
         return withsha
     return withsha.join(
-        F.broadcast(manifest.select(*MANIFEST_COLS).dropDuplicates()),
+        gated_broadcast(manifest.select(*MANIFEST_COLS).dropDuplicates()),
         on=list(MANIFEST_COLS),
         how="left_anti",
     )
@@ -147,7 +183,7 @@ def run_pipeline(
     batch_id = uuid.uuid4().hex[:12]
 
     src = pending_corpus(spark, corpus, out_dir) if resume else _with_doc_sha(corpus)
-    keep = ["repo", "path", "commit", "lang", "content", "doc_sha"] + (
+    keep = ["repo", "path", "commit", "lang", "content", "doc_sha", "payload_sha"] + (
         ["content_gz"] if "content_gz" in src.columns else []
     )
     src = src.select(*keep)
@@ -170,8 +206,9 @@ def run_pipeline(
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     clauses = clauses.repartition(n_shuffle, "doc_sha").persist()
 
+    caches: list[DataFrame] = []
     if canonicalize:
-        edges = canonical_edges(clauses, strategy="shuffle_hash")
+        edges = canonical_edges(clauses, strategy="shuffle_hash", persisted_out=caches)
     else:
         edges = apply_xref_macros(extract_edges(clauses), clauses).dropDuplicates(EDGE_KEY)
     edges = edges.observe(obs["edges"], F.count(F.lit(1)).alias("n"))
@@ -186,12 +223,14 @@ def run_pipeline(
         os.path.join(out_dir, "edges")
     )
     parsed.unpersist()
+    for c in caches:
+        c.unpersist()
 
     # manifest append LAST: a crash before this line leaves the batch
     # unrecorded and it reruns idempotently (outputs keyed by doc_sha are
     # deduplicated by readers; Iceberg would make this a single atomic commit)
     done = (
-        src.select("repo", "path", "commit", "doc_sha")
+        src.select("repo", "path", "commit", "doc_sha", "payload_sha")
         .dropDuplicates()
         .withColumn("batch_id", F.lit(batch_id))
         .withColumn("completed_at", F.current_timestamp())

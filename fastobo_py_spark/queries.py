@@ -276,7 +276,7 @@ def q_events_props_json(spark: SparkSession, sf: str) -> DataFrame:
 SQL_EVENTS_PROPS = """
 SELECT event_type,
        count(k) AS n_with_k,
-       sum(k)   AS sum_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
        min(k)   AS min_k,
        max(k)   AS max_k
 FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)

@@ -36,12 +36,18 @@ def _process_batch(out_dir: str, n_salts: int):
         quarantine.write.mode("append").parquet(os.path.join(out_dir, "quarantine"))
         n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
         clauses = clauses.repartition(n_shuffle, "doc_sha").persist()
-        edges = canonical_edges(clauses, strategy="shuffle_hash")
+        # collect canonical_edges' internal caches: a continuous stream
+        # re-enters this fn every micro-batch, and un-released caches
+        # would accumulate in the CacheManager until executor OOM
+        caches: list[DataFrame] = []
+        edges = canonical_edges(clauses, strategy="shuffle_hash", persisted_out=caches)
         nodes = build_nodes(clauses)
         nodes.write.mode("append").partitionBy("idspace").parquet(os.path.join(out_dir, "nodes"))
         with_salt(edges, "subj", n_salts).write.mode("append").partitionBy("idspace", "salt").parquet(
             os.path.join(out_dir, "edges")
         )
+        for c in caches:
+            c.unpersist()
         clauses.unpersist()
         parsed.unpersist()
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Any, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -74,8 +75,12 @@ def _user_totals_fn(
     for pdf in batches:
         n += len(pdf)
         # per-ROW fixed-point rounding: batching-invariant, so the result
-        # is identical however the stream is micro-batched
-        s += int((pdf["value"] * 10_000).round().astype("int64").sum())
+        # is identical however the stream is micro-batched. HALF_UP (away
+        # from zero), matching Spark's F.round in the batch mirror —
+        # pandas .round() is banker's half-even and diverges on exact
+        # .5e-4 boundaries.
+        v = pdf["value"].to_numpy()
+        s += int((np.floor(np.abs(v) * 10_000 + 0.5) * np.sign(v)).astype("int64").sum())
         if len(pdf):
             last = max(last, int(pdf["ts"].astype("int64").max()) // 1000)  # ns → µs
     state.update((n, s, last))
