@@ -152,17 +152,25 @@ def per_doc_components(pairs_with_sha: DataFrame) -> DataFrame:
     """(doc_sha, src, dst) → (doc_sha, id, component), fully distributed.
 
     Equivalence scope is per document, so CC shards perfectly by doc_sha:
-    one ``applyInPandas`` union-find per document — no driver collect, no
-    iterative min-label job sequence, nothing bounded by one machine.
-    Labels are the per-document min id, identical to
-    :func:`connected_components`' convention and oracle.py's union-find.
+    no driver collect, no iterative min-label job sequence, nothing
+    bounded by one machine. Labels are the per-document min id, identical
+    to :func:`connected_components`' convention and oracle.py's union-find.
+
+    Execution shape: ONE hash exchange on doc_sha (what a
+    ``groupBy(doc_sha).applyInPandas`` would also pay) followed by a
+    partition-wide ``mapInPandas`` union-find over (doc_sha, id) composite
+    vertices — components cannot span documents, so min over composites
+    equals the per-document min id. One Python call labels every document
+    in the partition; the earlier per-document ``applyInPandas`` paid a
+    pandas-construction tax per ~5-row group that dominated the graph
+    stage's scaling profile.
     """
     import pandas as pd
 
-    def uf(pdf: pd.DataFrame) -> pd.DataFrame:
+    def uf_partition(batches):
         parent: dict = {}
 
-        def find(x: str) -> str:
+        def find(x):
             r = x
             while parent.get(r, r) != r:
                 r = parent[r]
@@ -170,21 +178,29 @@ def per_doc_components(pairs_with_sha: DataFrame) -> DataFrame:
                 parent[x], x = r, parent[x]
             return r
 
-        for a, b in zip(pdf["src"], pdf["dst"]):
-            if a is None or b is None:
-                continue
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        ids = {v for col in ("src", "dst") for v in pdf[col] if v is not None}
-        sha = pdf["doc_sha"].iloc[0]
-        return pd.DataFrame(
-            [(sha, i, find(i)) for i in sorted(ids)], columns=["doc_sha", "id", "component"]
-        )
+        seen: set = set()
+        for pdf in batches:
+            for d, a, b in zip(pdf["doc_sha"], pdf["src"], pdf["dst"]):
+                if a is None or b is None:
+                    continue
+                ka, kb = (d, a), (d, b)
+                seen.add(ka)
+                seen.add(kb)
+                ra, rb = find(ka), find(kb)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+        if not seen:
+            return
+        out = [(d, i, find((d, i))[1]) for d, i in sorted(seen)]
+        yield pd.DataFrame(out, columns=["doc_sha", "id", "component"])
 
-    return pairs_with_sha.groupBy("doc_sha").applyInPandas(
-        uf, "doc_sha string, id string, component string"
+    n = int(pairs_with_sha.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # the pair builders union/join several branches, so partitioning is
+    # unknown here — the explicit repartition restores doc-locality, the
+    # correctness precondition for the partition-wide kernel
+    return pairs_with_sha.repartition(n, "doc_sha").mapInPandas(
+        uf_partition, "doc_sha string, id string, component string"
     )
 
 

@@ -1,0 +1,141 @@
+"""Physical-plan regression guards for the shuffle_hash canonical chain.
+
+Round 2's hardest-won property: with the clause cache hash-partitioned on
+doc_sha and ``spark.sql.requireAllClusterKeysForCoPartition=false``, the
+ENTIRE canonical chain (macro-fused extraction → resolution rewrite → CC
+rewrite → final dedup) runs with ZERO exchanges of the edge table — only
+the tiny dimension sides shuffle. Nothing in the test suite failed when a
+refactor re-introduced an edge-table Exchange (it only showed up as a
+silent 2x in bench numbers), so this test walks the physical plan and
+fails loudly instead.
+
+Checked invariants (PLANS.md documents the same in prose):
+  1. The edge spine — the streamed-side path from the plan root down to
+     the clause-cache scan — contains no Exchange and no SortMergeJoin;
+     every join on it is a ShuffledHashJoin.
+  2. The spine terminates at the InMemoryTableScan of the clause cache
+     (i.e. the streamed side really is the cache, not a re-computed scan).
+  3. Exactly TWO MapInPandas nodes exist outside the cache: the
+     partition-wide resolution-composition and union-find kernels, both
+     over doc_sha-repartitioned DIMS. (The corpus-sized parse MapInPandas
+     lives inside the InMemoryRelation and is not re-entered.)
+
+AQE is disabled for the plan build: the co-partitioning property is
+static (EnsureRequirements), and a stage-less tree is walkable without
+QueryStage special cases.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _children(node):
+    s = node.children()
+    return [s.apply(i) for i in range(s.size())]
+
+
+def _walk(node):
+    yield node
+    for c in _children(node):
+        yield from _walk(c)
+
+
+@pytest.fixture(scope="module")
+def chain_plan(spark, clauses):
+    from pyspark.sql import functions as F
+
+    from fastobo_py_spark.plans.pipeline import canonical_edges
+
+    cl = clauses.repartition(4, "doc_sha").persist()
+    cl.count()
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        e = canonical_edges(cl, strategy="shuffle_hash")
+        plan = e._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+        cl.unpersist()
+    return plan
+
+
+def _edge_spine(plan):
+    """Streamed-side path root → leaf: joins descend left (BuildRight)."""
+    spine = []
+    node = plan
+    while True:
+        spine.append(node)
+        kids = _children(node)
+        if not kids:
+            return spine
+        node = kids[0]
+
+
+def test_edge_spine_has_no_exchange_and_only_shuffled_hash_joins(chain_plan):
+    spine = _edge_spine(chain_plan)
+    names = [n.nodeName() for n in spine]
+    offenders = [n for n in names if "Exchange" in n]
+    assert not offenders, f"edge-table Exchange re-introduced: {names}"
+    joins = [n for n in names if "Join" in n]
+    assert joins, f"no joins on the edge spine? {names}"
+    bad = [n for n in joins if not n.startswith("ShuffledHashJoin")]
+    assert not bad, f"edge-spine join regressed from ShuffledHashJoin: {joins}"
+
+
+def test_edge_spine_streams_the_clause_cache(chain_plan):
+    leaf = _edge_spine(chain_plan)[-1]
+    assert "InMemoryTableScan" in leaf.nodeName(), (
+        f"edge spine no longer ends at the clause cache: {leaf.nodeName()}"
+    )
+
+
+def _walk_with_caches(node, seen_cache_ids):
+    """Walk the tree AND the cached plan of each distinct InMemoryRelation,
+    descending through AQE wrappers (AdaptiveSparkPlan / QueryStage are
+    leaf nodes hiding their actual subplan)."""
+    yield node
+    name = node.nodeName()
+    if "InMemoryTableScan" in name:
+        cached = node.relation().cachedPlan()
+        cid = cached.id()
+        if cid not in seen_cache_ids:
+            seen_cache_ids.add(cid)
+            yield from _walk_with_caches(cached, seen_cache_ids)
+    elif name == "AdaptiveSparkPlan":
+        yield from _walk_with_caches(node.executedPlan(), seen_cache_ids)
+    elif "QueryStage" in name:
+        yield from _walk_with_caches(node.plan(), seen_cache_ids)
+    for c in _children(node):
+        yield from _walk_with_caches(c, seen_cache_ids)
+
+
+def test_python_kernels_live_only_inside_dim_caches(chain_plan):
+    """The visible chain never crosses into Python (all kernels are inside
+    eagerly-persisted relations, computed once), and across the caches
+    exactly THREE kernels exist: the corpus parse, the resolution
+    composition, and the CC union-find — each a partition-wide crossing,
+    never per-row/per-group Python."""
+    visible = [n.nodeName() for n in _walk(chain_plan)]
+    py_nodes = ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython", "BatchEvalPython")
+    assert not [n for n in visible if n in py_nodes], (
+        f"Python kernel leaked into the un-cached chain plan: {visible}"
+    )
+    everything = [n.nodeName() for n in _walk_with_caches(chain_plan, set())]
+    n_py = sum(1 for n in everything if n in py_nodes)
+    assert n_py == 3, (
+        "expected exactly 3 Python kernels incl. caches (parse, resolution "
+        f"compose, CC union-find), found {n_py}: "
+        f"{[n for n in everything if 'Pandas' in n or 'Python' in n]}"
+    )
+
+
+def test_final_dedup_reuses_cache_partitioning(chain_plan):
+    """The dropDuplicates aggregate pair sits on the spine with no
+    Exchange between it and the joins (ClusteredDistribution on the edge
+    key is satisfied by the cache's doc_sha subset partitioning)."""
+    spine = [n.nodeName() for n in _edge_spine(chain_plan)]
+    first_join = next(i for i, n in enumerate(spine) if "Join" in n)
+    head = spine[:first_join]
+    assert any("Aggregate" in n for n in head), f"dedup aggregate not above joins: {head}"
+    assert not any("Exchange" in n for n in head)

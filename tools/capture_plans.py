@@ -47,9 +47,10 @@ def main() -> None:
     cl2.count()
     show(
         "Full canonical chain, strategy=shuffle_hash — the 10^12-file plan: "
-        "per-doc applyInPandas resolution/CC (FlatMapGroupsInPandas), every dim a "
-        "doc_sha-co-partitioned ShuffledHashJoin, ZERO exchanges of the edge table "
-        "(only __d*/dim sides shuffle), final dedup reuses the cache partitioning",
+        "partition-wide MapInPandas resolution/CC kernels over doc_sha-repartitioned "
+        "dims, every dim a doc_sha-co-partitioned ShuffledHashJoin, ZERO exchanges "
+        "of the edge table (only dim sides shuffle), final dedup reuses the cache "
+        "partitioning",
         canonical_edges(cl2, strategy="shuffle_hash"),
     )
     show("TPC-H Q5 shape (dims broadcast, AQE shuffles)", q_region_revenue(spark, "/root/testdata/sf0.001"))
@@ -75,8 +76,11 @@ with `python tools/capture_plans.py`). What to look for, per the
   so ONLY the tiny dim side exchanges — nothing is driver-bounded and
   the edge table is never re-shuffled.
 * **WholeStageCodegen** spans covering the extraction/linking projections
-  — the hot path never leaves the JVM except the one Arrow parse stage
-  (ArrowEvalPython / MapInPandas appears exactly once per pipeline).
+  — the CORPUS-sized hot path crosses into Python exactly once (the Arrow
+  parse MapInPandas, inside the clause cache); the only other Python
+  crossings are the two partition-wide resolution/CC kernels, which run
+  over the doc_sha-repartitioned alias/equivalence DIMS — a vanishing
+  fraction of the corpus (tests/test_plan_regression.py enforces both).
 * **AQE** (AdaptiveSparkPlan) wrapping every shuffle so skewed ontology
   hubs re-plan at runtime.
 """
