@@ -95,6 +95,59 @@ def dump_graph(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     return doc
 
 
+def _yaml_to_json_batches(batches):
+    """mapInPandas kernel: (doc_sha, graph_yaml) → (doc_sha, graph_json).
+
+    YAML has no JVM-side parser, so the conversion is the one Python hop
+    — Arrow-batched, document-granularity, the same shape as the OBO
+    parse kernel. The reference accepts YAML graphs through serde_yaml
+    exactly like this (``src/py/mod.rs:333-365``: format dispatch, one
+    deserialize per document).
+    """
+    import json
+
+    import yaml
+
+    for pdf in batches:
+        out = pdf.copy()
+        out["graph_json"] = [
+            None if s is None else json.dumps(yaml.safe_load(s)) for s in pdf["graph_yaml"]
+        ]
+        yield out[["doc_sha", "graph_json"]]
+
+
+def _json_to_yaml_batches(batches):
+    """Inverse kernel for :func:`dump_graph_yaml`."""
+    import json
+
+    import yaml
+
+    for pdf in batches:
+        out = pdf.copy()
+        out["graph_yaml"] = [
+            None if s is None else yaml.safe_dump(json.loads(s), sort_keys=False)
+            for s in pdf["graph_json"]
+        ]
+        yield out[["doc_sha", "graph_yaml"]]
+
+
+def dump_graph_yaml(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """(doc_sha, graph_yaml): the YAML rendering of :func:`dump_graph`
+    (reference ``dump_graph`` dispatches on extension, ``.yaml``/``.yml``
+    → serde_yaml, ``src/py/mod.rs:389-422``)."""
+    return dump_graph(nodes, edges).mapInPandas(
+        _json_to_yaml_batches, "doc_sha string, graph_yaml string"
+    )
+
+
+def load_graph_yaml(spark: SparkSession, yaml_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """YAML variant of :func:`load_graph`: (doc_sha, graph_yaml) →
+    (nodes, edges). YAML→JSON in one Arrow kernel, then the same
+    JVM-side from_json/explode plan as the JSON path."""
+    json_df = yaml_df.mapInPandas(_yaml_to_json_batches, "doc_sha string, graph_json string")
+    return load_graph(spark, json_df)
+
+
 def load_graph(spark: SparkSession, json_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Inverse of :func:`dump_graph`: (doc_sha, graph_json) → (nodes, edges).
 

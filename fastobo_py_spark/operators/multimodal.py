@@ -69,6 +69,21 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+def _pil_image_features(payload: bytes, dim: int) -> list[float]:
+    """Real-codec path (used automatically when Pillow is importable and
+    the payload decodes): grayscale → dim×dim resize → column means.
+    Raises ImportError when Pillow is absent (this sandbox)."""
+    import io
+
+    from PIL import Image  # noqa: F401 — optional dependency
+
+    import numpy as np
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((dim, dim))
+    a = np.asarray(img, dtype="float32") / 255.0
+    return [float(x) for x in a.mean(axis=0)]
+
+
 def _fake_decode_features(payload: bytes, dim: int = 16, strict: bool | None = None) -> list[float]:
     """STUB: stands in for image/audio decode + embedding.
 
@@ -86,14 +101,34 @@ def _fake_decode_features(payload: bytes, dim: int = 16, strict: bool | None = N
     return [v / 65535.0 for v in vals[:dim]]
 
 
-def extract_features(media: DataFrame, dim: int = 16, strict: bool | None = None) -> DataFrame:
+def _decode_features(payload: bytes, kind: str, dim: int, strict: bool | None) -> list[float]:
+    """Codec dispatch: real Pillow decode for images when available and
+    decodable; otherwise the strict/fake policy above. Keeps strict mode
+    honest — with no codec installed, the default still raises."""
+    if kind == "image":
+        try:
+            return _pil_image_features(payload, dim)
+        except ImportError:
+            pass  # Pillow absent (this sandbox) — fall through to policy
+        except Exception:
+            pass  # undecodable payload (synthetic bytes) — same fallthrough
+    return _fake_decode_features(payload, dim, strict)
+
+
+def extract_features(
+    media: DataFrame, dim: int = 16, strict: bool | None = None, with_features: bool = True
+) -> DataFrame:
     """mapInPandas feature extraction: one Arrow batch of payloads in,
     one batch of fixed-dim vectors out. Only (media_id, kind, payload)
     cross the JVM→Python boundary (column pruning does the rest).
 
-    Strict by default (no codecs in this container): raises
-    NotImplementedError unless ``strict=False`` opts into the
-    deterministic fake embedding."""
+    Images route through Pillow when it is importable (real codec path);
+    otherwise strict by default: raises NotImplementedError unless
+    ``strict=False`` opts into the deterministic fake embedding.
+
+    ``with_features=False`` emits the codec-FREE columns only
+    (payload_sha, n_bytes; features stays null) — the part of the
+    contract that is oracle-checkable in a codec-less environment."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -102,7 +137,14 @@ def extract_features(media: DataFrame, dim: int = 16, strict: bool | None = None
                 "kind": pdf["kind"],
                 "payload_sha": pdf["payload"].map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
                 "n_bytes": pdf["payload"].map(len).astype("int32"),
-                "features": pdf["payload"].map(lambda b: _fake_decode_features(bytes(b), dim, strict)),
+                "features": (
+                    [
+                        _decode_features(bytes(b), k, dim, strict)
+                        for b, k in zip(pdf["payload"], pdf["kind"])
+                    ]
+                    if with_features
+                    else None
+                ),
             }
             yield pd.DataFrame(out)
 

@@ -97,6 +97,173 @@ def owl_axioms(clauses: DataFrame) -> DataFrame:
     return ent.select("doc_sha", axiom.alias("axiom")).where(F.col("axiom").isNotNull())
 
 
+def _xesc(col):
+    """XML-escape a column (attribute- and text-safe)."""
+    c = F.regexp_replace(col, "&", "&amp;")
+    c = F.regexp_replace(c, "<", "&lt;")
+    c = F.regexp_replace(c, ">", "&gt;")
+    return F.regexp_replace(c, '"', "&quot;")
+
+
+def _xiri(col):
+    """Ident → escaped IRI string for an owx IRI= attribute (decompacted
+    via the OBO PURL rule; unprefixed idents stay as-is)."""
+    return _xesc(decompact_prefixed(col))
+
+
+def _xel(name, iri_col):
+    return F.concat(F.lit(f'<{name} IRI="'), _xiri(iri_col), F.lit('"/>'))
+
+
+def owl_axioms_owx(clauses: DataFrame) -> DataFrame:
+    """Clause rows → (doc_sha, kind, axiom_xml): the OWL/XML (owx)
+    rendering of the same OBO→OWL2-DL mapping as :func:`owl_axioms`
+    (reference ``dump_owl`` accepts format 'owx' alongside 'ofn',
+    ``src/py/mod.rs:464-511``; element shapes per
+    https://w3.org/TR/owl2-xml-serialization/). ``kind`` equals the
+    functional renderer's leading constructor so both formats are
+    count-comparable axiom for axiom."""
+    ent = clauses.where((F.col("frame_type") != "Header") & (F.col("frame_id") != ""))
+    t, v1, v2, vt = F.col("tag"), F.col("v1"), F.col("v2"), F.col("value_text")
+    me = F.col("frame_id")
+    is_typedef = F.col("frame_type") == "Typedef"
+    is_instance = F.col("frame_type") == "Instance"
+    lit = lambda c: F.concat(F.lit("<Literal>"), _xesc(c), F.lit("</Literal>"))
+    ann = lambda prop, val: F.concat(
+        F.lit(f"<AnnotationAssertion>{prop}<IRI>"), _xiri(me), F.lit("</IRI>"), val, F.lit("</AnnotationAssertion>")
+    )
+    out = (
+        F.when(
+            t == "id",
+            F.struct(
+                F.lit("Declaration").alias("kind"),
+                F.concat(
+                    F.lit("<Declaration>"),
+                    F.when(is_typedef, _xel("ObjectProperty", me))
+                    .when(is_instance, _xel("NamedIndividual", me))
+                    .otherwise(_xel("Class", me)),
+                    F.lit("</Declaration>"),
+                ).alias("xml"),
+            ),
+        )
+        .when(
+            (t == "instance_of") & v1.isNotNull(),
+            F.struct(
+                F.lit("ClassAssertion").alias("kind"),
+                F.concat(
+                    F.lit("<ClassAssertion>"), _xel("Class", v1), _xel("NamedIndividual", me), F.lit("</ClassAssertion>")
+                ).alias("xml"),
+            ),
+        )
+        .when(
+            (t == "name") & vt.isNotNull(),
+            F.struct(
+                F.lit("AnnotationAssertion").alias("kind"),
+                ann('<AnnotationProperty abbreviatedIRI="rdfs:label"/>', lit(vt)).alias("xml"),
+            ),
+        )
+        .when(
+            (t == "def") & vt.isNotNull(),
+            F.struct(
+                F.lit("AnnotationAssertion").alias("kind"),
+                ann(
+                    '<AnnotationProperty IRI="http://purl.obolibrary.org/obo/IAO_0000115"/>', lit(vt)
+                ).alias("xml"),
+            ),
+        )
+        .when(
+            (t == "is_obsolete") & (v1 == "true"),
+            F.struct(
+                F.lit("AnnotationAssertion").alias("kind"),
+                ann(
+                    '<AnnotationProperty abbreviatedIRI="owl:deprecated"/>',
+                    F.lit(
+                        '<Literal datatypeIRI="http://www.w3.org/2001/XMLSchema#boolean">true</Literal>'
+                    ),
+                ).alias("xml"),
+            ),
+        )
+        .when(
+            (t == "is_a") & v1.isNotNull() & ~is_typedef,
+            F.struct(
+                F.lit("SubClassOf").alias("kind"),
+                F.concat(F.lit("<SubClassOf>"), _xel("Class", me), _xel("Class", v1), F.lit("</SubClassOf>")).alias(
+                    "xml"
+                ),
+            ),
+        )
+        .when(
+            (t == "is_a") & v1.isNotNull() & is_typedef,
+            F.struct(
+                F.lit("SubObjectPropertyOf").alias("kind"),
+                F.concat(
+                    F.lit("<SubObjectPropertyOf>"),
+                    _xel("ObjectProperty", me),
+                    _xel("ObjectProperty", v1),
+                    F.lit("</SubObjectPropertyOf>"),
+                ).alias("xml"),
+            ),
+        )
+        .when(
+            (t == "relationship") & v1.isNotNull() & v2.isNotNull(),
+            F.struct(
+                F.lit("SubClassOf").alias("kind"),
+                F.concat(
+                    F.lit("<SubClassOf>"),
+                    _xel("Class", me),
+                    F.lit("<ObjectSomeValuesFrom>"),
+                    _xel("ObjectProperty", v1),
+                    _xel("Class", v2),
+                    F.lit("</ObjectSomeValuesFrom>"),
+                    F.lit("</SubClassOf>"),
+                ).alias("xml"),
+            ),
+        )
+    )
+    return (
+        ent.select("doc_sha", out.alias("a"))
+        .where(F.col("a").isNotNull())
+        .select("doc_sha", F.col("a.kind").alias("kind"), F.col("a.xml").alias("axiom_xml"))
+    )
+
+
+_OWX_PREAMBLE = (
+    '<?xml version="1.0"?>\n'
+    '<Ontology xmlns="http://www.w3.org/2002/07/owl#"\n'
+    '     xml:base="http://purl.obolibrary.org/obo/"\n'
+    '     ontologyIRI="{iri}">\n'
+    '<Prefix name="rdfs" IRI="http://www.w3.org/2000/01/rdf-schema#"/>\n'
+    '<Prefix name="owl" IRI="http://www.w3.org/2002/07/owl#"/>\n'
+)
+
+
+def dump_owl_owx(clauses: DataFrame) -> DataFrame:
+    """(doc_sha, owl_xml): one OWL/XML document per source doc — the owx
+    sibling of :func:`dump_owl_functional` (same per-doc sort/concat
+    aggregation shape)."""
+    hdr_ont = (
+        clauses.where((F.col("frame_type") == "Header") & (F.col("tag") == "ontology"))
+        .groupBy("doc_sha")
+        .agg(F.min("value_text").alias("ont"))
+    )
+    body = (
+        owl_axioms_owx(clauses)
+        .groupBy("doc_sha")
+        .agg(F.concat_ws("\n", F.sort_array(F.collect_list("axiom_xml"))).alias("axioms"))
+    )
+    joined = body.join(hdr_ont, "doc_sha", "left")
+    ont_iri = F.concat(
+        F.lit("http://purl.obolibrary.org/obo/"), F.coalesce(F.col("ont"), F.col("doc_sha")), F.lit(".owl")
+    )
+    pre, post = _OWX_PREAMBLE.split("{iri}")
+    return joined.select(
+        "doc_sha",
+        F.concat(
+            F.lit(pre), _xesc(ont_iri), F.lit(post), F.col("axioms"), F.lit("\n</Ontology>")
+        ).alias("owl_xml"),
+    )
+
+
 def dump_owl_functional(clauses: DataFrame) -> DataFrame:
     """(doc_sha, owl_text): one OWL functional-syntax document per source
     doc — Prefix/Ontology wrapper around the sorted axiom list."""

@@ -1526,7 +1526,15 @@ def q_obo_graph_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(F.col("obsolete"), 1).otherwise(0)).alias("n_deprecated"),
     )
     eagg = e2.agg(F.count("*").alias("n_edges"), F.countDistinct("pred").alias("n_preds"))
-    return nagg.crossJoin(eagg)
+    # YAML hop too (reference load_graph accepts JSON and YAML,
+    # src/py/mod.rs:333-365): same node/edge totals must survive
+    from fastobo_py_spark.operators.graphjson import dump_graph_yaml, load_graph_yaml
+
+    n3, e3 = load_graph_yaml(spark, dump_graph_yaml(nodes, edges))
+    yagg = n3.agg(F.count("*").alias("n_nodes_yaml")).crossJoin(
+        e3.agg(F.count("*").alias("n_edges_yaml"))
+    )
+    return nagg.crossJoin(eagg).crossJoin(yagg)
 
 
 def sql_obo_graph_roundtrip() -> str:
@@ -1572,8 +1580,11 @@ def sql_obo_graph_roundtrip() -> str:
     n_edges = len(kept)
     n_preds = len({p for _, p, _, _ in kept})
     return _values_sql(
-        [(n_nodes, n_defs, n_syn, n_xref, n_dep, n_edges, n_preds)],
-        ["n_nodes", "n_defs", "n_synonyms", "n_xrefs", "n_deprecated", "n_edges", "n_preds"],
+        [(n_nodes, n_defs, n_syn, n_xref, n_dep, n_edges, n_preds, n_nodes, n_edges)],
+        [
+            "n_nodes", "n_defs", "n_synonyms", "n_xrefs", "n_deprecated",
+            "n_edges", "n_preds", "n_nodes_yaml", "n_edges_yaml",
+        ],
     )
 
 
@@ -1632,15 +1643,20 @@ def sql_obo_pipeline_resume() -> str:
 
 def q_obo_owl_axioms(spark: SparkSession, sf: str) -> DataFrame:
     """dump_owl parity (best-effort OBO→OWL2-DL mapping like the
-    reference's experimental fastobo-owl path): axiom counts per kind."""
-    from fastobo_py_spark.operators.owl import owl_axioms
+    reference's experimental fastobo-owl path): axiom counts per kind,
+    format-parametrized — the functional ('ofn') and OWL/XML ('owx')
+    renderers must agree axiom for axiom (reference accepts both,
+    src/py/mod.rs:464-511)."""
+    from fastobo_py_spark.operators.owl import owl_axioms, owl_axioms_owx
 
-    ax = owl_axioms(_clauses(spark))
-    return (
-        ax.groupBy(F.substring_index("axiom", "(", 1).alias("kind"))
+    cl = _clauses(spark)
+    fn = (
+        owl_axioms(cl)
+        .groupBy(F.substring_index("axiom", "(", 1).alias("kind"))
         .agg(F.count("*").alias("n_axioms"))
-        .orderBy("kind")
     )
+    owx = owl_axioms_owx(cl).groupBy("kind").agg(F.count("*").alias("n_axioms_owx"))
+    return fn.join(owx, "kind", "full_outer").orderBy("kind")
 
 
 def sql_obo_owl_axioms() -> str:
@@ -1670,7 +1686,8 @@ def sql_obo_owl_axioms() -> str:
             counts["SubObjectPropertyOf" if ftype == "Typedef" else "SubClassOf"] += 1
         elif tag == "relationship" and v1 and v2:
             counts["SubClassOf"] += 1
-    return _values_sql(sorted(counts.items()), ["kind", "n_axioms"])
+    rows = [(k, n, n) for k, n in sorted(counts.items())]
+    return _values_sql(rows, ["kind", "n_axioms", "n_axioms_owx"])
 
 
 QUERIES.update(
@@ -1706,3 +1723,175 @@ def oracle_sqls() -> dict[str, str]:
     out = _static_oracle_sqls()
     out.update({name: build() for name, build in _GENERATED_ORACLES.items()})
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round 3: streaming-KG oracle row + obsolete-without-replacement audit
+# ---------------------------------------------------------------------------
+
+
+def q_obo_obsolete_unreplaced(spark: SparkSession, sf: str) -> DataFrame:
+    """Obsolete-without-replacement audit (the reference's validation
+    pattern, ``docs/examples/obsolete.ipynb`` cell 4): obsolete frames
+    lacking a hard ``replaced_by`` redirect, with ``consider``-only
+    advisories classed separately from fully dangling obsoletes."""
+    from fastobo_py_spark.operators.materialize import build_nodes
+
+    nodes = build_nodes(_clauses(spark))
+    status = (
+        F.when(F.size("replaced_by") > 0, F.lit("replaced"))
+        .when(F.size("consider") > 0, F.lit("consider_only"))
+        .otherwise(F.lit("unreplaced"))
+    )
+    return (
+        nodes.where(F.col("obsolete"))
+        .select("id", status.alias("status"))
+        .where(F.col("status") != "replaced")
+        .orderBy("id")
+    )
+
+
+def sql_obo_obsolete_unreplaced() -> str:
+    from collections import defaultdict
+
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    clauses, _ = oracle.parse_rows(generate_corpus(**_CORPUS_KW))
+    obs = set()
+    repl: dict = defaultdict(set)
+    cons: dict = defaultdict(set)
+    for c in clauses:
+        sha, ftype, fid, tag, v1 = c[0], c[3], c[3 + 1], c[3 + 4], c[3 + 5]
+        if ftype == "Header" or not fid:
+            continue
+        key = (sha, fid)
+        if tag == "is_obsolete" and v1 == "true":
+            obs.add(key)
+        elif tag == "replaced_by" and v1:
+            repl[key].add(v1)
+        elif tag == "consider" and v1:
+            cons[key].add(v1)
+    rows = sorted(
+        (k[1], "consider_only" if cons[k] else "unreplaced") for k in obs if not repl[k]
+    )
+    return _values_sql(rows, ["id", "status"])
+
+
+def q_obo_stream_kg(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.1 ``fastobo.iter`` analogue, oracle-checked end to end: the
+    streaming corpus→KG job (readStream → foreachBatch canonical chain,
+    streaming/kg.py) drained with availableNow across MULTIPLE
+    micro-batches; totals over the edge sink must equal the pure-Python
+    oracle — i.e. the stream loses and duplicates nothing vs a batch run
+    (reference: ``fastobo.iter``, ``src/iter.rs:174-250`` — the same
+    frames, pull-based)."""
+    import os
+    import shutil
+    import tempfile
+
+    from fastobo_py_spark.sources.corpus import corpus_to_parquet
+    from fastobo_py_spark.streaming.kg import stream_build_kg
+
+    base = tempfile.mkdtemp(prefix="stream_kg_q_")
+    corpus_dir = os.path.join(base, "corpus")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        corpus_to_parquet(corpus_dir, n_files=8, **_CORPUS_KW)
+        stream_build_kg(spark, corpus_dir, out, ckpt, max_files_per_trigger=3)
+        edges = spark.read.parquet(os.path.join(out, "edges"))
+        rows = [
+            ("docs_with_edges", edges.select("doc_sha").distinct().count()),
+            ("edges_total", edges.select("subj", "pred", "obj", "doc_sha").distinct().count()),
+            ("n_preds", edges.select("pred").distinct().count()),
+        ]
+        return spark.createDataFrame(sorted(rows), "metric string, value bigint")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def sql_obo_stream_kg() -> str:
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    edges = oracle.build_edges(generate_corpus(**_CORPUS_KW), canonicalize=True)
+    dist = {(s, p, o, sha) for s, p, o, _, sha in edges}
+    rows = [
+        ("docs_with_edges", len({e[3] for e in dist})),
+        ("edges_total", len(dist)),
+        ("n_preds", len({e[1] for e in dist})),
+    ]
+    return _values_sql(sorted(rows), ["metric", "value"])
+
+
+QUERIES.update(
+    {
+        "obo_obsolete_unreplaced": q_obo_obsolete_unreplaced,
+        "obo_stream_kg": q_obo_stream_kg,
+    }
+)
+_GENERATED_ORACLES.update(
+    {
+        "obo_obsolete_unreplaced": sql_obo_obsolete_unreplaced,
+        "obo_stream_kg": sql_obo_stream_kg,
+    }
+)
+
+
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checked on the codec-FREE part of the
+    contract (payload_sha / n_bytes / frame sampling): the Arrow kernel,
+    schema, and batching are the real production path — only the decode
+    body is environment-stubbed (strict by default; Pillow used when
+    importable). Per-kind census over the deterministic media table."""
+    from fastobo_py_spark.operators.multimodal import extract_features, sample_frames, synth_media
+
+    media = synth_media(spark, n=64)
+    feats = extract_features(media, with_features=False)
+    agg = feats.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.countDistinct("payload_sha").alias("n_distinct_payloads"),
+    )
+    frames = (
+        sample_frames(media)
+        .groupBy(F.lit("video").alias("kind"))
+        .agg(F.count("*").alias("n_frames"))
+    )
+    return (
+        agg.join(frames, "kind", "left")
+        .select("kind", "n_media", "total_bytes", "n_distinct_payloads",
+                F.coalesce("n_frames", F.lit(0)).alias("n_frames"))
+        .orderBy("kind")
+    )
+
+
+def sql_multimodal_features() -> str:
+    import hashlib as _hl
+    from collections import defaultdict
+
+    # independent re-derivation of synth_media(n=64, seed=42) + the
+    # sample_frames sequence semantics (0 .. duration_ms-1 step 5000)
+    kinds = ["image", "audio", "video"]
+    per = defaultdict(lambda: [0, 0, set()])
+    n_frames = 0
+    for i in range(64):
+        kind = kinds[i % 3]
+        payload = _hl.sha256(f"42|{i}".encode()).digest() * (4 + i % 5)
+        st = per[kind]
+        st[0] += 1
+        st[1] += len(payload)
+        st[2].add(_hl.sha256(payload).hexdigest())
+        if kind == "video":
+            duration_ms = 1000 * (1 + i % 30)
+            n_frames += (duration_ms - 1) // 5000 + 1
+    rows = [
+        (k, st[0], st[1], len(st[2]), n_frames if k == "video" else 0)
+        for k, st in sorted(per.items())
+    ]
+    return _values_sql(rows, ["kind", "n_media", "total_bytes", "n_distinct_payloads", "n_frames"])
+
+
+QUERIES.update({"multimodal_features": q_multimodal_features})
+_GENERATED_ORACLES.update({"multimodal_features": sql_multimodal_features})

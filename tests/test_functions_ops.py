@@ -279,3 +279,56 @@ def test_owl_functional_dump(spark, clauses):
     one = next(t for t in docs.values() if "NamedIndividual" in t)
     assert "ClassAssertion(" in one
     assert "SubClassOf(" in one
+
+
+def test_graph_yaml_roundtrip(spark, clauses):
+    """YAML variant of load_graph/dump_graph (reference accepts both,
+    src/py/mod.rs:333-365): node/edge sets survive the YAML hop and the
+    payload really is YAML (not JSON smuggled through)."""
+    from fastobo_py_spark.operators.graphjson import dump_graph_yaml, load_graph_yaml
+    from fastobo_py_spark.operators.materialize import build_nodes
+    from fastobo_py_spark.operators.triples import extract_edges
+
+    sub = clauses.where(F.col("path").startswith("ontologies/ms_0"))
+    nodes = build_nodes(sub)
+    edges = extract_edges(sub, include_xrefs=False)
+    gy = dump_graph_yaml(nodes, edges)
+    rows = gy.collect()
+    assert len(rows) == 1
+    import yaml
+
+    doc = yaml.safe_load(rows[0]["graph_yaml"])
+    assert "graphs" in doc and "nodes" in doc["graphs"][0]
+    assert not rows[0]["graph_yaml"].lstrip().startswith("{")
+
+    n2, e2 = load_graph_yaml(spark, gy)
+    assert n2.count() == nodes.count()
+    got = {(r["subj"], r["pred"], r["obj"]) for r in e2.collect()}
+    want = {(r["subj"], r["pred"], r["obj"]) for r in edges.collect()}
+    assert got == want
+
+
+def test_owl_owx_dump(spark, clauses):
+    """owx (OWL/XML) sibling of the functional dump: well-formed XML,
+    same per-kind axiom census as the functional renderer."""
+    import xml.etree.ElementTree as ET
+
+    from fastobo_py_spark.operators.owl import dump_owl_owx, owl_axioms, owl_axioms_owx
+
+    docs = {r["doc_sha"]: r["owl_xml"] for r in dump_owl_owx(clauses).collect()}
+    assert len(docs) == 40
+    for text in docs.values():
+        root = ET.fromstring(text)  # raises on malformed XML
+        assert root.tag.endswith("Ontology")
+        assert root.attrib["ontologyIRI"].startswith("http://purl.obolibrary.org/obo/")
+
+    fn = {
+        (r["kind"], r["n"]) for r in
+        owl_axioms(clauses).groupBy(F.substring_index("axiom", "(", 1).alias("kind")).agg(
+            F.count("*").alias("n")).collect()
+    }
+    ox = {
+        (r["kind"], r["n"]) for r in
+        owl_axioms_owx(clauses).groupBy("kind").agg(F.count("*").alias("n")).collect()
+    }
+    assert fn == ox and fn
