@@ -97,10 +97,16 @@ def idspace_map(clauses: DataFrame) -> DataFrame:
 
 def compact_with_idspaces(df: DataFrame, ident_col: str, clauses: DataFrame) -> DataFrame:
     """Compact URL idents using per-doc ``idspace:`` declarations first,
-    then the default PURL rule.  Broadcast join on (doc_sha) — the idspace
-    dimension is per-document metadata, never large.
+    then the default PURL rule.
+
+    The idspace dim is a handful of rows per DOCUMENT — i.e. it grows
+    with the corpus, so the broadcast is size-gated (hints.py): small
+    corpora get the map-side join, catalog-scale ones fall back to a
+    shuffle join on doc_sha.
     """
-    ids = F.broadcast(idspace_map(clauses))
+    from fastobo_py_spark.operators.hints import gated_broadcast
+
+    ids = gated_broadcast(idspace_map(clauses))
     c = F.col(ident_col)
     joined = df.join(
         ids,

@@ -70,7 +70,12 @@ def link_mentions(
     d = mention_dictionary(clauses)
     d = d.withColumn("n_candidates", F.count("*").over(Window.partitionBy("mention")))
     if broadcast_dict:
-        d = F.broadcast(d)
+        # the dictionary is one row per declared surface form — corpus-
+        # proportional, so the hint is size-gated (hints.py): above the
+        # threshold the join falls back to shuffle on the mention key
+        from fastobo_py_spark.operators.hints import gated_broadcast
+
+        d = gated_broadcast(d)
     m = mentions.withColumn("__norm", normalize_mention(F.col(mention_col)))
     return m.join(d, m["__norm"] == d["mention"], "left").drop("__norm", "mention")
 

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from fastobo_py_spark.operators.canonicalize import apply_xref_macros, rewrite_edges
 from fastobo_py_spark.operators.components import canonical_rewrite
+from fastobo_py_spark.operators.idents import edge_idspace
 from fastobo_py_spark.operators.materialize import build_nodes, with_salt
 from fastobo_py_spark.operators.parse import parse_corpus, split_parsed
 from fastobo_py_spark.operators.triples import extract_edges
@@ -100,7 +101,47 @@ def canonical_edges(
     e = extract_edges_with_macros(clauses, strategy=strategy, macro_source=dims)
     e = rewrite_edges(e, clauses, resolution=res, strategy=strategy)
     e = canonical_rewrite(e, comps, strategy=strategy)
-    return e.dropDuplicates(EDGE_KEY)
+    return _dedup_edges(e)
+
+
+# src_tag is a CLOSED 8-value set (triples._SIMPLE_EDGE_TAGS +
+# relationship/intersection_of + the macro marker); the order below is the
+# survivor priority when one (subj,pred,obj,doc_sha) arrives under several
+# tags — original clauses beat macro-synthesized.
+_SRC_TAG_ORDER = (
+    "is_a", "relationship", "intersection_of", "union_of",
+    "equivalent_to", "disjoint_from", "xref", "xref-macro",
+)
+
+
+def _dedup_edges(e: DataFrame) -> DataFrame:
+    """Per-doc edge dedup as a HashAggregate.
+
+    ``dropDuplicates(EDGE_KEY)`` carries the src_tag/idspace STRINGS in
+    ``first()`` buffers, which HashAggregateExec cannot hold (aggregation
+    buffers must be mutable fixed-width) — Spark silently falls back to
+    SortAggregate and full-sorts the multi-million-row edge table inside
+    every partition. Encoding src_tag into a byte keeps the buffer
+    fixed-width (min = deterministic survivor, unlike dropDuplicates),
+    and idspace is re-derived from the FINAL subj — also more correct:
+    the extraction-time value went stale when alias/equivalence rewrites
+    changed the endpoint.
+    """
+    enc = F.lit(None).cast("tinyint")
+    for i, tag in reversed(list(enumerate(_SRC_TAG_ORDER))):
+        enc = F.when(F.col("src_tag") == tag, F.lit(i).cast("tinyint")).otherwise(enc)
+    dec = F.lit(None).cast("string")
+    for i, tag in enumerate(_SRC_TAG_ORDER):
+        dec = F.when(F.col("__tc") == i, F.lit(tag)).otherwise(dec)
+    return (
+        e.withColumn("__tc", enc)
+        .groupBy("subj", "pred", "obj", "doc_sha")
+        .agg(F.min("__tc").alias("__tc"))
+        .select(
+            "subj", "pred", "obj", dec.alias("src_tag"), "doc_sha",
+            edge_idspace(F.col("subj")).alias("idspace"),
+        )
+    )
 
 
 def _manifest_path(out_dir: str) -> str:

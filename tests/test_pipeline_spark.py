@@ -303,3 +303,27 @@ def test_canonical_edges_larger_corpus_vs_oracle(spark):
     p, r = oracle.precision_recall(got, want)
     assert (p, r) == (1.0, 1.0), f"precision={p} recall={r}"
     assert len(got) > 8000  # genuinely larger than the default corpus
+
+
+def test_pipeline_resume_with_broadcast_gate_forced_shut(spark, corpus, monkeypatch):
+    """The resume anti-join must stay correct when the manifest is too big
+    to broadcast: force the gate shut (threshold 0) so the shuffle-join
+    fallback path runs, and assert resume semantics are unchanged."""
+    from fastobo_py_spark.operators import hints
+    from fastobo_py_spark.plans.pipeline import pending_corpus, run_pipeline
+
+    monkeypatch.setattr(hints, "BROADCAST_ROW_THRESHOLD", 0)
+    out = tempfile.mkdtemp(prefix="kg_gate_test_")
+    try:
+        half = corpus.where(F.substring(F.md5(F.col("path")), 1, 1) < "8")
+        m1 = run_pipeline(spark, half, out, canonicalize=False)
+        assert m1["docs_in_batch"] > 0
+        # the anti-join (now a shuffle join) sees exactly the remainder
+        n_total = corpus.count()
+        assert pending_corpus(spark, corpus, out).count() == n_total - m1["docs_in_batch"]
+        m2 = run_pipeline(spark, corpus, out, canonicalize=False)
+        assert m1["docs_in_batch"] + m2["docs_in_batch"] == n_total
+        m3 = run_pipeline(spark, corpus, out, canonicalize=False)
+        assert m3["docs_in_batch"] == 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

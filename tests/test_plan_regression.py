@@ -15,10 +15,10 @@ Checked invariants (PLANS.md documents the same in prose):
      every join on it is a ShuffledHashJoin.
   2. The spine terminates at the InMemoryTableScan of the clause cache
      (i.e. the streamed side really is the cache, not a re-computed scan).
-  3. Exactly TWO MapInPandas nodes exist outside the cache: the
-     partition-wide resolution-composition and union-find kernels, both
-     over doc_sha-repartitioned DIMS. (The corpus-sized parse MapInPandas
-     lives inside the InMemoryRelation and is not re-entered.)
+  3. The visible chain has ZERO Python nodes, and exactly THREE
+     partition-wide kernels exist across the persisted relations: the
+     corpus parse, the resolution composition, and the CC union-find
+     (the latter two over doc_sha-repartitioned DIMS).
 
 AQE is disabled for the plan build: the co-partitioning property is
 static (EnsureRequirements), and a stage-less tree is walkable without
@@ -139,3 +139,35 @@ def test_final_dedup_reuses_cache_partitioning(chain_plan):
     head = spine[:first_join]
     assert any("Aggregate" in n for n in head), f"dedup aggregate not above joins: {head}"
     assert not any("Exchange" in n for n in head)
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Bucketed-at-write co-located join (O18 scale path): both sides
+    bucketed on the join key at the same count → the sort-merge join
+    plans with NO Exchange on either side (the disk layout is the
+    shuffle)."""
+    from fastobo_py_spark.sources.bucketed import bucketed_join, write_bucketed
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the SMJ path
+        "spark.sql.adaptive.enabled": "false",  # stage-less, walkable plan
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        write_bucketed(orders, "r3_orders_b", "o_custkey", n_buckets=4, sort_by="o_custkey")
+        write_bucketed(cust, "r3_cust_b", "c_custkey", n_buckets=4, sort_by="c_custkey")
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = bucketed_join(spark, "r3_orders_b", "r3_cust_b", "o_custkey", "c_custkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, f"bucketed join re-shuffled:\n{plan}"
+        # and it actually computes the right thing
+        assert j.count() == orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).count()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS r3_orders_b")
+        spark.sql("DROP TABLE IF EXISTS r3_cust_b")

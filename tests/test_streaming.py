@@ -152,3 +152,58 @@ def test_stream_build_kg_matches_batch_and_oracle(spark):
         assert n_after == len(got)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_exact_dedup_cross_batch(spark):
+    """Cross-batch streaming dedup: exactly ONE output row per distinct
+    content across the whole stream, no matter how the input is
+    micro-batched; a restart over the same checkpoint re-emits nothing;
+    late-arriving duplicates of already-seen content are dropped."""
+    from fastobo_py_spark.operators.dedup import exact_duplicates
+    from fastobo_py_spark.streaming.dedup import stream_exact_dedup
+
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        src = f"{base}/docs"
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+        docs.repartition(4).write.parquet(src)
+        stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+
+        def run():
+            q = (
+                stream_exact_dedup(stream)
+                .writeStream.format("parquet")
+                .option("path", f"{base}/out")
+                .option("checkpointLocation", f"{base}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run()
+        got = spark.read.parquet(f"{base}/out")
+        # one row per distinct fingerprint, total in-batch docs == corpus
+        assert got.groupBy("fp").count().where(F.col("count") > 1).count() == 0
+        want_fps = {r["fp"] for r in exact_duplicates(docs).collect()}
+        assert {r["fp"] for r in got.collect()} == want_fps
+        n_first = got.count()
+
+        # restart over the same checkpoint: nothing new
+        run()
+        assert spark.read.parquet(f"{base}/out").count() == n_first
+
+        # append a file duplicating existing content plus one new doc:
+        # only the new content emits
+        dup_and_new = spark.createDataFrame(
+            [(900001, docs.orderBy("doc_id").first()["text"]), (900002, "BRAND NEW r3 text")],
+            "doc_id long, text string",
+        )
+        dup_and_new.coalesce(1).write.mode("append").parquet(src)
+        run()
+        after = spark.read.parquet(f"{base}/out")
+        assert after.count() == n_first + 1
+        assert after.where(F.col("keep_id") == 900002).count() == 1
+        assert after.groupBy("fp").count().where(F.col("count") > 1).count() == 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
