@@ -54,6 +54,42 @@ _EDGE_TAGS = [
 ]
 
 
+def _tree_cpu_seconds() -> float:
+    """Total CPU seconds (utime+stime) of this process and every live
+    descendant (the JVM and its Python workers) — /proc walk, no deps.
+
+    Sampled before/after a timed region, the delta attributes WORK done,
+    independent of wall-clock interference: on one shared box, scaling
+    loss shows up as CPU-seconds RISING with thread count (memory
+    bandwidth / cache contention), not as idle cores.
+    """
+    import os
+
+    tick = os.sysconf("SC_CLK_TCK")
+    me = os.getpid()
+    parents: dict[int, int] = {}
+    cpu: dict[int, float] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as fh:
+                parts = fh.read().rsplit(")", 1)[1].split()
+            parents[int(d)] = int(parts[1])  # ppid
+            cpu[int(d)] = (int(parts[11]) + int(parts[12])) / tick  # utime+stime
+        except OSError:
+            continue
+    total = 0.0
+    for pid in cpu:
+        p = pid
+        while p > 1:
+            if p == me:
+                total += cpu[pid]
+                break
+            p = parents.get(p, 1)
+    return total
+
+
 def _timed_kg_flow(spark, corpus, n_files: int) -> dict:
     """The benchmark KG dataflow with per-stage timing.
 
@@ -71,6 +107,7 @@ def _timed_kg_flow(spark, corpus, n_files: int) -> dict:
     from fastobo_py_spark.operators.parse import parse_corpus, split_parsed
     from fastobo_py_spark.plans.pipeline import canonical_edges
 
+    cpu0 = _tree_cpu_seconds()
     t0 = time.time()
     clauses, _ = split_parsed(parse_corpus(corpus))
     # cache exactly what the edge job consumes: narrow columns, and only
@@ -99,6 +136,7 @@ def _timed_kg_flow(spark, corpus, n_files: int) -> dict:
         "t_parse": round(t_parse, 3),
         "t_graph": round(t_graph, 3),
         "t_total": round(dt, 3),
+        "cpu_sec": round(_tree_cpu_seconds() - cpu0, 1),
     }
 
 
@@ -160,6 +198,26 @@ def run_bench() -> dict:
     return result
 
 
+def _jvm_control_rows_per_sec(spark, n_rows: int = 1_500_000_000) -> float:
+    """Trivially-parallel, shuffle-free, Python-free, allocation-free
+    control job: chained long hashing inside one WholeStageCodegen span.
+
+    Its N→4N efficiency is the CEILING this shared box can express for
+    pure JVM compute (SMT, frequency, scheduler) with zero algorithmic
+    excuses — the pipeline's stages are judged against it, not against an
+    ideal 4.0x that one machine cannot produce.
+    """
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    t0 = time.time()
+    (
+        spark.range(0, n_rows, 1, numPartitions=n_part)
+        .selectExpr("xxhash64(xxhash64(xxhash64(id))) AS h")
+        .selectExpr("bit_xor(h) AS x")
+        .collect()
+    )
+    return n_rows / (time.time() - t0)
+
+
 def _pipeline_from_parquet(spark, corpus_dir: str, n_files: int) -> dict:
     """Timed pipeline over an on-disk corpus (the realistic shape: a table
     scan, not a driver-materialized DataFrame)."""
@@ -215,6 +273,9 @@ def run_scaling() -> dict:
                 if r["files_per_sec"] > out.get(key, 0.0):
                     out[key] = round(r["files_per_sec"], 2)
                     stage_best[n] = r
+                ctl = _jvm_control_rows_per_sec(spark)
+                ckey = f"control_rows_per_sec_local{n}"
+                out[ckey] = max(out.get(ckey, 0.0), round(ctl, 0))
                 spark.stop()
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
@@ -229,6 +290,14 @@ def run_scaling() -> dict:
         "graph_sec": {"n": lo["t_graph"], "4n": hi["t_graph"],
                       "efficiency": round(lo["t_graph"] / hi["t_graph"] / 4.0, 3)},
     }
+    # hardware attribution: whole-job CPU-seconds per level (work done, not
+    # wall) — a rising total at 4N means cycles/op inflation (memory
+    # bandwidth, cache contention), not idle cores or serial code
+    out["cpu_sec"] = {"n": lo.get("cpu_sec"), "4n": hi.get("cpu_sec")}
+    ctl_n = out.get(f"control_rows_per_sec_local{n_small}")
+    ctl_4n = out.get(f"control_rows_per_sec_local{4 * n_small}")
+    if ctl_n and ctl_4n:
+        out["control_efficiency"] = round(ctl_4n / ctl_n / 4.0, 3)
     out["corpus"] = {"n_obo": n_obo, "n_noise": n_noise, "doc_scale": doc_scale}
     return out
 

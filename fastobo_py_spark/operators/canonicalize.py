@@ -162,6 +162,36 @@ def resolution_map(clauses: DataFrame, max_hops: int = 3, driver_threshold: int 
     return resolution_map_distributed(clauses, max_hops)
 
 
+def fuse_resolution_components(res: DataFrame, comps: DataFrame) -> DataFrame:
+    """Compose the alias/obsolete resolution map with the equivalence
+    component labels into ONE (doc_sha, old, new) lookup.
+
+    The pipeline applies resolution first, then component rewrite, and
+    the component labels are keyed on POST-resolution ids (the pair
+    endpoints are rewritten through ``res`` before CC) — so the two maps
+    compose exactly:
+
+        combined(x) = comps(res(x)) ?? res(x)   if res(x) defined
+                    = comps(x)                   otherwise
+
+    Composing on the DIM side (two joins over the tiny maps) halves the
+    number of left joins against the edge table from four to two — the
+    edge table is the multi-million-row side, so this is the dominant
+    term at scale. Identity entries are dropped (a no-op join hit).
+    """
+    c = comps.select(
+        F.col("doc_sha").alias("__cd"), F.col("id").alias("__ci"), F.col("component").alias("__cc")
+    )
+    through = res.join(
+        c, (res["doc_sha"] == F.col("__cd")) & (res["new"] == F.col("__ci")), "left"
+    ).select("doc_sha", "old", F.coalesce(F.col("__cc"), F.col("new")).alias("new"))
+    r = res.select(F.col("doc_sha").alias("__rd"), F.col("old").alias("__ro"))
+    direct = comps.join(
+        r, (comps["doc_sha"] == F.col("__rd")) & (comps["id"] == F.col("__ro")), "left_anti"
+    ).select("doc_sha", F.col("id").alias("old"), F.col("component").alias("new"))
+    return through.unionByName(direct).where(F.col("old") != F.col("new"))
+
+
 def rewrite_edges(
     edges: DataFrame,
     clauses: DataFrame,

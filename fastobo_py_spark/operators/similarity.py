@@ -116,3 +116,69 @@ def lsh_bucketed_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5, n_
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id")
     )
+
+
+def ivf_anchors(dim: int, n_cells: int, seed: int = 11) -> "np.ndarray":
+    """Deterministic unit-norm anchor matrix (n_cells, dim) — a
+    k-means-free IVF coarse quantizer: the probe/search structure of an
+    inverted-file index with centroids replaced by seeded random anchors,
+    so executors, driver and the DuckDB oracle reproduce the exact same
+    cells (float64 repr round-trips). A production deployment swaps this
+    for trained k-means centroids; every DataFrame below is unchanged."""
+    a = np.random.RandomState(seed).standard_normal((n_cells, dim))
+    return a / np.linalg.norm(a, axis=1, keepdims=True)
+
+
+def cells_udf(n_cells: int, nprobe: int, seed: int = 11):
+    """pandas UDF: embedding → array<int> of the ``nprobe`` best cells,
+    ordered by anchor dot product (argmax of v·a equals argmax of cosine:
+    |v| is constant per row, so no normalization — fewer float ops to
+    keep bit-parity with the SQL mirror). Stable sort = deterministic
+    tie-break by cell id."""
+
+    @pandas_udf("array<int>")
+    def cells(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.stack(v.to_numpy())
+        scores = mat @ ivf_anchors(mat.shape[1], n_cells, seed).T
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([[int(c) for c in row] for row in order])
+
+    return cells
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors live in their single best cell; a
+    query probes its ``nprobe`` best cells and ranks exact cosine inside
+    them only. The cross join becomes an equi-join on cell id, and recall
+    grows with nprobe — the classic quality/cost dial the brute-force
+    baseline lacks. Everything shuffles by cell id: cells are the
+    partition-pruning unit at 100 TB (one parquet partition per cell)."""
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("cell", F.element_at(cells_udf(n_cells, 1, seed)(F.col("v")), 1))
+    q = (
+        e.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("q"),
+            F.explode(cells_udf(n_cells, nprobe, seed)(F.col("v"))).alias("cell"),
+        )
+    )
+    cand = e.join(q, "cell").where(F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("v"), F.col("q")) / (_norm(F.col("v")) * _norm(F.col("q")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )

@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from fastobo_py_spark.operators.canonicalize import apply_xref_macros, rewrite_edges
-from fastobo_py_spark.operators.components import canonical_rewrite
 from fastobo_py_spark.operators.idents import edge_idspace
 from fastobo_py_spark.operators.materialize import build_nodes, with_salt
 from fastobo_py_spark.operators.parse import parse_corpus, split_parsed
@@ -60,6 +59,7 @@ def canonical_edges(
     """
     from fastobo_py_spark.operators.canonicalize import (
         extract_edges_with_macros,
+        fuse_resolution_components,
         resolution_map,
         resolution_map_distributed,
     )
@@ -86,21 +86,31 @@ def canonical_edges(
 
     res = resolution_map_distributed(dims) if shj else resolution_map(dims)
     if shj:
-        # the map feeds 4 joins (pair src/dst, edge subj/obj): a tiny
-        # cache beats re-running the applyInPandas composition per branch
+        # the map feeds several dim-side joins (pair src/dst, fuse
+        # branches): a tiny cache beats re-running the partition-wide
+        # composition kernel per branch
         res = res.persist()
         if persisted_out is not None:
             persisted_out.append(res)
     comps = equivalence_components_from_clauses(dims, resolution=res, strategy=strategy)
     if shj:
+        # both fuse branches read comps — uncached, the CC kernel would
+        # run twice (once per branch of the combined map's plan)
         comps = comps.persist()
         if persisted_out is not None:
             persisted_out.append(comps)
+    # resolution ∘ components composes into ONE map on the dim side, so
+    # the EDGE table sees two left joins (subj, obj) instead of four —
+    # the multi-million-row side is where join passes actually cost
+    combined = fuse_resolution_components(res, comps)
+    if shj:
+        combined = combined.persist()
+        if persisted_out is not None:
+            persisted_out.append(combined)
     # macro synthesis is FUSED into the extraction pass (no union) so the
     # clause cache's doc_sha partitioning survives to the final dedup
     e = extract_edges_with_macros(clauses, strategy=strategy, macro_source=dims)
-    e = rewrite_edges(e, clauses, resolution=res, strategy=strategy)
-    e = canonical_rewrite(e, comps, strategy=strategy)
+    e = rewrite_edges(e, clauses, resolution=combined, strategy=strategy)
     return _dedup_edges(e)
 
 

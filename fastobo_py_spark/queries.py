@@ -1128,6 +1128,7 @@ def _static_oracle_sqls() -> dict[str, str]:
         "text_tokens": SQL_TEXT_TOKENS,
         "quality_by_source": SQL_QUALITY_BY_LANG,
         "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_stream_exact": SQL_DEDUP_STREAM,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "corpus_keep_list": sql_corpus_keep_list(),
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
@@ -1895,3 +1896,111 @@ def sql_multimodal_features() -> str:
 
 QUERIES.update({"multimodal_features": q_multimodal_features})
 _GENERATED_ORACLES.update({"multimodal_features": sql_multimodal_features})
+
+
+def q_dedup_stream_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming cross-batch dedup, oracle-checked on its batch-order-
+    INVARIANT outputs: drained over multiple micro-batches, the stream
+    must emit exactly one row per distinct content and account for every
+    input row — the same census a batch GROUP BY computes (which doc_id
+    survives per group is arrival-dependent and deliberately excluded)."""
+    import os
+    import shutil
+    import tempfile
+
+    from fastobo_py_spark.operators.dedup import exact_duplicates  # noqa: F401 (batch twin)
+    from fastobo_py_spark.streaming.dedup import stream_exact_dedup
+
+    base = tempfile.mkdtemp(prefix="stream_dedup_q_")
+    try:
+        src = os.path.join(base, "docs")
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        docs.repartition(4).write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            stream_exact_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", os.path.join(base, "out"))
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(os.path.join(base, "out"))
+        rows = [
+            ("n_distinct", got.count()),
+            ("n_docs", got.agg(F.sum("n_in_batch")).collect()[0][0]),
+        ]
+        return spark.createDataFrame(sorted(rows), "metric string, value bigint")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_DEDUP_STREAM = """
+SELECT * FROM (
+  SELECT 'n_distinct' AS metric,
+         CAST(count(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS BIGINT) AS value
+  FROM documents
+  UNION ALL
+  SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM documents
+) ORDER BY metric
+"""
+
+QUERIES.update({"dedup_stream_exact": q_dedup_stream_exact})
+
+
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN (cell probing): the third point on the ANN
+    quality/cost curve next to brute force (exact) and LSH buckets."""
+    emb = load_table(spark, sf, "embeddings")
+    return S.ivf_topk(emb, n_queries=20, k=5, n_cells=16, nprobe=4).orderBy("query_id", "rank")
+
+
+def sql_ann_ivf(dim: int = 64, n_cells: int = 16, nprobe: int = 4, seed: int = 11) -> str:
+    """DuckDB mirror: the SAME seeded anchors as SQL literals; cell
+    assignment/probing by dot-product rank (ties broken by cell id, the
+    UDF's stable-sort order)."""
+    from fastobo_py_spark.operators.similarity import ivf_anchors
+
+    a = ivf_anchors(dim, n_cells, seed)
+    anchor_rows = ",\n".join(
+        f"({c}, [{', '.join(repr(float(x)) for x in a[c])}]::DOUBLE[])" for c in range(n_cells)
+    )
+    return f"""
+WITH anchors(cell, a) AS (VALUES
+{anchor_rows}
+),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+sc AS (
+  SELECT e.vec_id, anchors.cell, list_dot_product(e.v, anchors.a) AS s,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.v, anchors.a) DESC, anchors.cell) AS rn
+  FROM e, anchors
+),
+assign AS (SELECT vec_id, cell FROM sc WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cell FROM sc WHERE rn <= {nprobe} AND vec_id < 20),
+scored AS (
+  SELECT p.query_id, a2.vec_id AS neighbor_id,
+         list_dot_product(eq.v, en.v) / (eq.nrm * en.nrm) AS cos
+  FROM probes p
+  JOIN assign a2 ON a2.cell = p.cell AND a2.vec_id <> p.query_id
+  JOIN e eq ON eq.vec_id = p.query_id
+  JOIN e en ON en.vec_id = a2.vec_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+QUERIES.update({"ann_ivf_topk": q_ann_ivf})
+_GENERATED_ORACLES.update({"ann_ivf_topk": sql_ann_ivf})
