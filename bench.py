@@ -176,11 +176,17 @@ def run_bench() -> dict:
 
     # warm the python workers + codegen on a tiny corpus first, matching
     # the scaling harness's methodology — the timed run then measures the
-    # dataflow, not one-time JVM/py-worker startup
+    # dataflow, not one-time JVM/py-worker startup. Best-of-2 like the
+    # scaling harness: the shared host's load spikes would otherwise be
+    # indistinguishable from regressions in the round-over-round record.
     _obo_pipeline_files_per_sec(spark, 20, 10)
-    t0 = time.time()
-    fps, n_edges = _obo_pipeline_files_per_sec(spark, BENCH_OBO, BENCH_NOISE)
-    timings["obo_kg_pipeline"] = round(time.time() - t0, 3)
+    fps, n_edges, t_best = 0.0, 0, float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        f, n = _obo_pipeline_files_per_sec(spark, BENCH_OBO, BENCH_NOISE)
+        if f > fps:
+            fps, n_edges, t_best = f, n, time.time() - t0
+    timings["obo_kg_pipeline"] = round(t_best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else SF_DIR)

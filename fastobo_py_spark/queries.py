@@ -1908,7 +1908,6 @@ def q_dedup_stream_exact(spark: SparkSession, sf: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from fastobo_py_spark.operators.dedup import exact_duplicates  # noqa: F401 (batch twin)
     from fastobo_py_spark.streaming.dedup import stream_exact_dedup
 
     base = tempfile.mkdtemp(prefix="stream_dedup_q_")

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from fastobo_py_spark.operators.materialize import build_nodes, with_salt
 from fastobo_py_spark.operators.parse import parse_corpus, split_parsed
-from fastobo_py_spark.plans.pipeline import EDGE_KEY, canonical_edges
+from fastobo_py_spark.plans.pipeline import canonical_edges
 from fastobo_py_spark.schema import CORPUS_SCHEMA
 
 

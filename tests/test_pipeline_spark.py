@@ -327,3 +327,44 @@ def test_pipeline_resume_with_broadcast_gate_forced_shut(spark, corpus, monkeypa
         assert m3["docs_in_batch"] == 0
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_fused_rewrite_map_equals_sequential(spark):
+    """fuse_resolution_components must equal resolution-then-components
+    applied sequentially, on the adversarial shapes: alias into an
+    equivalence member, component id itself aliased, ids known to only
+    one map, resolution targets outside the components."""
+    from fastobo_py_spark.operators.canonicalize import fuse_resolution_components
+
+    d = "D" * 64
+    res_rows = [
+        (d, "A:1", "A:2"),   # alias whose target is in a component
+        (d, "B:1", "B:2"),   # alias whose target is NOT in any component
+        (d, "C:1", "C:0"),   # alias target is a component representative
+    ]
+    comps_rows = [
+        (d, "A:2", "A:0"), (d, "A:0", "A:0"),   # A:2 ~ A:0 (rep A:0)
+        (d, "C:0", "C:0"), (d, "C:9", "C:0"),   # C cluster incl. identity rep
+        (d, "E:5", "E:2"), (d, "E:2", "E:2"),   # component no alias touches
+    ]
+    res = spark.createDataFrame(res_rows, "doc_sha string, old string, new string")
+    comps = spark.createDataFrame(comps_rows, "doc_sha string, id string, component string")
+    fused = {
+        (r["old"]): r["new"]
+        for r in fuse_resolution_components(res, comps).where(F.col("doc_sha") == d).collect()
+    }
+
+    res_d = {o: n for _, o, n in res_rows}
+    comp_d = {i: c for _, i, c in comps_rows}
+
+    def sequential(x):
+        y = res_d.get(x, x)
+        return comp_d.get(y, y)
+
+    every_id = set(res_d) | set(res_d.values()) | set(comp_d) | {"Z:77"}
+    for x in sorted(every_id):
+        want = sequential(x)
+        got = fused.get(x, x)
+        assert got == want, f"{x}: fused={got} sequential={want}"
+    # identity entries must not appear in the map
+    assert all(k != v for k, v in fused.items())
