@@ -1129,6 +1129,7 @@ def _static_oracle_sqls() -> dict[str, str]:
         "quality_by_source": SQL_QUALITY_BY_LANG,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_stream_exact": SQL_DEDUP_STREAM,
+        "dedup_stream_minhash": SQL_DEDUP_MINHASH,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "corpus_keep_list": sql_corpus_keep_list(),
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
@@ -2003,3 +2004,48 @@ ORDER BY query_id, rank
 
 QUERIES.update({"ann_ivf_topk": q_ann_ivf})
 _GENERATED_ORACLES.update({"ann_ivf_topk": sql_ann_ivf})
+
+
+def q_dedup_stream_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming MinHash+LSH near-dup candidates drained over
+    micro-batches, deduped across bands — must hash-match the SAME
+    DuckDB oracle as the batch ``dedup_minhash_lsh`` query: the stream
+    loses nothing at batch boundaries and computes identical signatures."""
+    import os
+    import shutil
+    import tempfile
+
+    from fastobo_py_spark.streaming.dedup import stream_minhash_pairs
+
+    base = tempfile.mkdtemp(prefix="stream_mh_q_")
+    try:
+        src = os.path.join(base, "docs")
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        docs.repartition(4).write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            stream_minhash_pairs(stream)
+            .writeStream.format("parquet")
+            .option("path", os.path.join(base, "out"))
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(os.path.join(base, "out"))
+            .select("doc_a", "doc_b", "est_jaccard")
+            .dropDuplicates(["doc_a", "doc_b"])
+            .orderBy("doc_a", "doc_b")
+        )
+        # materialize before the temp dir vanishes
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES.update({"dedup_stream_minhash": q_dedup_stream_minhash})

@@ -76,3 +76,129 @@ def stream_exact_dedup(docs: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-batch NEAR-duplicate detection (MinHash LSH over the stream)
+# ---------------------------------------------------------------------------
+
+PAIRS_OUTPUT = T.StructType(
+    [
+        T.StructField("band_ix", T.IntegerType()),
+        T.StructField("doc_a", T.LongType()),
+        T.StructField("doc_b", T.LongType()),
+        T.StructField("est_jaccard", T.DoubleType()),
+    ]
+)
+
+BUCKET_STATE = T.StructType(
+    [
+        T.StructField("doc_ids", T.ArrayType(T.LongType())),
+        T.StructField("sigs", T.ArrayType(T.ArrayType(T.LongType()))),
+    ]
+)
+
+
+def _signature_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Stateless kernel: (doc_id, text) → one row per LSH band with the
+    full MinHash signature. Bit-identical to the batch path
+    (operators/dedup.py): one md5 per word 3-shingle of the normalized
+    text, Carter–Wegman h_i = a + i*b over its 32-bit halves, band hash =
+    md5 of the '|'-joined band slice — so stream pairs are comparable
+    row-for-row with `minhash_candidate_pairs` output."""
+    import hashlib
+    import re
+
+    from fastobo_py_spark.operators.dedup import N_BANDS, N_MINHASH, ROWS_PER_BAND, SHINGLE_K
+
+    def signature(text: str) -> list[int]:
+        norm = re.sub(r"\s+", " ", text.strip()).lower()
+        toks = norm.split(" ")
+        if len(toks) >= SHINGLE_K:
+            shingles = [" ".join(toks[i : i + SHINGLE_K]) for i in range(len(toks) - SHINGLE_K + 1)]
+        else:
+            shingles = [" ".join(toks)]
+        sig = [None] * N_MINHASH
+        for sh in shingles:
+            h = hashlib.md5(sh.encode()).hexdigest()
+            a, b = int(h[:8], 16), int(h[8:16], 16)
+            for i in range(N_MINHASH):
+                v = a + i * b
+                if sig[i] is None or v < sig[i]:
+                    sig[i] = v
+        return sig
+
+    for pdf in batches:
+        out = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            sig = signature(text)
+            for band in range(N_BANDS):
+                sl = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
+                bh = hashlib.md5("|".join(str(v) for v in sl).encode()).hexdigest()
+                out.append((band, bh, int(doc_id), sig))
+        yield pd.DataFrame(out, columns=["band_ix", "band_hash", "doc_id", "sig"])
+
+
+def _bucket_pairs_fn(
+    key: Tuple[Any, ...], batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Stateful kernel per (band_ix, band_hash) bucket: every newly
+    arrived member pairs against ALL members ever seen in the bucket
+    (stored signatures), then joins the stored set. State is the bucket's
+    member list — the streaming dual of the batch band self-join, sharded
+    by bucket key so no bucket ever sees another's members."""
+    if state.exists:
+        ids, sigs = list(state.get[0]), [list(s) for s in state.get[1]]
+    else:
+        ids, sigs = [], []
+    out = []
+    new = []
+    for pdf in batches:
+        for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+            new.append((int(doc_id), [int(v) for v in sig]))
+    new.sort()
+    band_ix = int(key[0])
+    for doc_id, sig in new:
+        if doc_id in ids:
+            continue  # replayed micro-batch: already a member
+        for mid, msig in zip(ids, sigs):
+            if mid == doc_id:
+                continue
+            est = sum(1 for x, y in zip(sig, msig) if x == y) / float(len(sig))
+            a, b = (doc_id, mid) if doc_id < mid else (mid, doc_id)
+            out.append((band_ix, a, b, round(est, 6)))
+        ids.append(doc_id)
+        sigs.append(sig)
+    state.update((ids, sigs))
+    if out:
+        yield pd.DataFrame(out, columns=["band_ix", "doc_a", "doc_b", "est_jaccard"])
+
+
+def stream_minhash_pairs(docs: DataFrame) -> DataFrame:
+    """Streaming near-duplicate candidate pairs: MinHash+LSH over an
+    unbounded (doc_id, text) stream.
+
+    Two stages: a stateless Arrow kernel computes signatures + band
+    hashes per document (the corpus never accumulates anywhere), then one
+    stateful operator keyed by (band_ix, band_hash) holds each bucket's
+    member signatures and emits a pair the moment the second member of a
+    bucket ever arrives — across micro-batches, restarts included (state
+    lives in the checkpoint). A pair sharing several bands surfaces once
+    per band (the batch path's dropDuplicates is the reader's
+    ``dropDuplicates(["doc_a","doc_b"])`` here — global cross-band dedup
+    would be a second stateful operator, kept out of the core op).
+
+    State is bounded by bucket membership — the same growth law as the
+    batch LSH join's build side, sharded across executors by bucket key.
+    """
+    sigs = docs.select("doc_id", "text").mapInPandas(
+        _signature_rows,
+        "band_ix int, band_hash string, doc_id long, sig array<long>",
+    )
+    return sigs.groupBy("band_ix", "band_hash").applyInPandasWithState(
+        _bucket_pairs_fn,
+        outputStructType=PAIRS_OUTPUT,
+        stateStructType=BUCKET_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -368,3 +368,48 @@ def test_fused_rewrite_map_equals_sequential(spark):
         assert got == want, f"{x}: fused={got} sequential={want}"
     # identity entries must not appear in the map
     assert all(k != v for k, v in fused.items())
+
+
+def test_per_doc_components_random_graphs_vs_union_find(spark):
+    """Partition-wide distributed CC vs an independent python union-find
+    on 60 random per-document equivalence graphs (seeded): labels must
+    match exactly, including per-document scoping of identical local ids
+    reused across documents."""
+    import random
+
+    from fastobo_py_spark.operators.components import per_doc_components
+
+    rng = random.Random(1234)
+    rows = []
+    for d in range(60):
+        sha = f"{d:064x}"
+        n_ids = rng.randint(2, 30)
+        ids = [f"X:{i}" for i in range(n_ids)]  # same local ids in every doc
+        for _ in range(rng.randint(1, 40)):
+            rows.append((sha, rng.choice(ids), rng.choice(ids)))
+    pairs = spark.createDataFrame(rows, "doc_sha string, src string, dst string")
+    got = {
+        (r["doc_sha"], r["id"]): r["component"]
+        for r in per_doc_components(pairs).collect()
+    }
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for sha, a, b in rows:
+        ra, rb = find((sha, a)), find((sha, b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    want = {}
+    for sha, a, b in rows:
+        for v in (a, b):
+            want[(sha, v)] = find((sha, v))[1]
+    assert got == want
+    # no labels leak across documents: every component shares its doc
+    assert all(k[0] == f"{int(k[0][:64], 16):064x}" for k in got)

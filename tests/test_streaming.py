@@ -207,3 +207,39 @@ def test_stream_exact_dedup_cross_batch(spark):
         assert after.groupBy("fp").count().where(F.col("count") > 1).count() == 0
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_minhash_pairs_match_batch(spark):
+    """Cross-batch streaming near-dup candidates: after draining a
+    multi-file backlog, the (doc_a, doc_b) pair set (deduped across
+    bands) and per-pair signature-agreement estimates must equal the
+    batch MinHash+LSH path exactly — no pair lost at batch boundaries."""
+    from fastobo_py_spark.operators.dedup import minhash_candidate_pairs
+    from fastobo_py_spark.streaming.dedup import stream_minhash_pairs
+
+    base = tempfile.mkdtemp(prefix="stream_mh_")
+    try:
+        src = f"{base}/docs"
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select("doc_id", "text")
+        docs.repartition(5).write.parquet(src)
+        stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        q = (
+            stream_minhash_pairs(stream)
+            .writeStream.format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got_rows = spark.read.parquet(f"{base}/out").collect()
+        got = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in got_rows}
+        want = {
+            (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+            for r in minhash_candidate_pairs(docs).collect()
+        }
+        assert set(got) == set(want)
+        assert got and all(abs(got[k] - want[k]) < 1e-9 for k in want)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
