@@ -162,6 +162,130 @@ def resolution_map(clauses: DataFrame, max_hops: int = 3, driver_threshold: int 
     return resolution_map_distributed(clauses, max_hops)
 
 
+def combined_map_distributed(dims: DataFrame, max_hops: int = 3) -> DataFrame:
+    """The FUSED canonicalization map — alias/obsolete resolution composed
+    with equivalence component labels — in ONE exchange + ONE
+    partition-wide kernel.
+
+    Semantically identical to ``fuse_resolution_components(
+    resolution_map_distributed(dims), equivalence_components_from_clauses(
+    dims, ...))`` (test_canonical_edges_auto_matches_shuffle_hash and the
+    oracle tests pin this), but the compositional pipeline spends ~10
+    serial stage boundaries on kilobyte-sized dim tables — a constant
+    ~seconds of latency that does not shrink with cores and was the
+    measured dominant term of the graph stage's N→4N scaling loss. Here
+    every per-document step (alias/replaced_by chain composition,
+    treat-xrefs-as-equivalent macro pair synthesis, union-find, final
+    composition) runs inside one Python call per partition; doc-locality
+    comes from the explicit doc_sha repartition.
+    """
+    import re
+
+    import pandas as pd
+
+    url_re = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+    def py_prefix(s: str):
+        # mirrors idents.ident_prefix: prefix of a PREFIXED ident else None
+        if url_re.match(s) or ":" not in s:
+            return None
+        return s.split(":", 1)[0]
+
+    def kernel(batches):
+        docs: dict = {}
+        for pdf in batches:
+            for sha, ftype, fid, tag, v1, cix in zip(
+                pdf["doc_sha"], pdf["frame_type"], pdf["frame_id"],
+                pdf["tag"], pdf["v1"], pdf["clause_ix"],
+            ):
+                if v1 is None:
+                    continue
+                d = docs.get(sha)
+                if d is None:
+                    d = docs[sha] = {"alias": {}, "repl": {}, "pairs": [], "xrefs": [], "spaces": set()}
+                if ftype == "Header":
+                    if tag == "treat-xrefs-as-equivalent":
+                        d["spaces"].add(v1)
+                elif fid:
+                    if tag == "alt_id":
+                        d["alias"].setdefault(v1, fid)  # first wins, like drop_duplicates
+                    elif tag == "replaced_by":
+                        cur = d["repl"].get(fid)
+                        if cur is None or cix < cur[1]:
+                            d["repl"][fid] = (v1, cix)  # min clause_ix: first declared wins
+                    elif tag == "equivalent_to":
+                        d["pairs"].append((fid, v1))
+                    elif tag == "xref":
+                        d["xrefs"].append((fid, v1))
+        out: list[tuple] = []
+        for sha, d in docs.items():
+            repl = {k: v[0] for k, v in d["repl"].items()}
+            res = dict(d["alias"])  # alias wins over a same-key replacement
+            for k in repl:
+                res.setdefault(k, k)
+            for _ in range(max_hops):
+                for k in res:
+                    res[k] = repl.get(res[k], res[k])
+            res = {k: v for k, v in res.items() if k != v}
+
+            pairs = list(d["pairs"])
+            if d["spaces"]:
+                for fid, x in d["xrefs"]:
+                    if py_prefix(x) in d["spaces"]:
+                        pairs.append((fid, x))
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            verts = set()
+            for a, b in pairs:
+                a, b = res.get(a, a), res.get(b, b)
+                verts.add(a)
+                verts.add(b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            comp = {v: find(v) for v in verts}
+
+            for old, new in res.items():
+                final = comp.get(new, new)
+                if old != final:
+                    out.append((sha, old, final))
+            for v, c in comp.items():
+                if v not in res and v != c:
+                    out.append((sha, v, c))
+        if out:
+            yield pd.DataFrame(out, columns=["doc_sha", "old", "new"])
+
+    n = int(dims.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cols = ["doc_sha", "frame_type", "frame_id", "tag", "v1", "clause_ix"]
+    hdr = F.col("frame_type") == "Header"
+    # xref rows dominate the dims volume but only those covered by a
+    # treat-xrefs-as-equivalent macro ever matter — filter them with a
+    # vectorized JVM semi-join BEFORE anything reaches Python (looping
+    # every xref row through the kernel cost more than the whole edge job)
+    eq_hdr = dims.where(hdr & (F.col("tag") == "treat-xrefs-as-equivalent"))
+    spaces = eq_hdr.select(F.col("doc_sha").alias("__d"), F.col("v1").alias("__space")).hint(
+        "shuffle_hash"
+    )
+    xr = dims.where(~hdr & (F.col("tag") == "xref"))
+    xr_kept = xr.join(
+        spaces, (xr["doc_sha"] == F.col("__d")) & (ident_prefix(xr["v1"]) == F.col("__space")), "left_semi"
+    )
+    small = dims.where(~hdr & F.col("tag").isin("alt_id", "replaced_by", "equivalent_to"))
+    proj = eq_hdr.select(*cols).unionByName(small.select(*cols)).unionByName(xr_kept.select(*cols))
+    return proj.repartition(n, "doc_sha").mapInPandas(
+        kernel, "doc_sha string, old string, new string"
+    )
+
+
 def fuse_resolution_components(res: DataFrame, comps: DataFrame) -> DataFrame:
     """Compose the alias/obsolete resolution map with the equivalence
     component labels into ONE (doc_sha, old, new) lookup.

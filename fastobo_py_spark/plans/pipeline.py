@@ -58,10 +58,10 @@ def canonical_edges(
     and clean up, or the CacheManager accumulates three relations per call.
     """
     from fastobo_py_spark.operators.canonicalize import (
+        combined_map_distributed,
         extract_edges_with_macros,
         fuse_resolution_components,
         resolution_map,
-        resolution_map_distributed,
     )
     from fastobo_py_spark.operators.components import equivalence_components_from_clauses
 
@@ -84,29 +84,19 @@ def canonical_edges(
         # (measured: 100+ task-seconds of cores held while blocked)
         dims.count()
 
-    res = resolution_map_distributed(dims) if shj else resolution_map(dims)
     if shj:
-        # the map feeds several dim-side joins (pair src/dst, fuse
-        # branches): a tiny cache beats re-running the partition-wide
-        # composition kernel per branch
-        res = res.persist()
-        if persisted_out is not None:
-            persisted_out.append(res)
-    comps = equivalence_components_from_clauses(dims, resolution=res, strategy=strategy)
-    if shj:
-        # both fuse branches read comps — uncached, the CC kernel would
-        # run twice (once per branch of the combined map's plan)
-        comps = comps.persist()
-        if persisted_out is not None:
-            persisted_out.append(comps)
-    # resolution ∘ components composes into ONE map on the dim side, so
-    # the EDGE table sees two left joins (subj, obj) instead of four —
-    # the multi-million-row side is where join passes actually cost
-    combined = fuse_resolution_components(res, comps)
-    if shj:
-        combined = combined.persist()
+        # resolution ∘ components in ONE exchange + ONE partition-wide
+        # kernel (combined_map_distributed): the compositional pipeline's
+        # ~10 serial stage boundaries over kilobyte dim tables were the
+        # measured constant term dominating the graph stage's N→4N loss.
+        # The edge table then sees two left joins (subj, obj), not four.
+        combined = combined_map_distributed(dims).persist()
         if persisted_out is not None:
             persisted_out.append(combined)
+    else:
+        res = resolution_map(dims)
+        comps = equivalence_components_from_clauses(dims, resolution=res, strategy=strategy)
+        combined = fuse_resolution_components(res, comps)
     # macro synthesis is FUSED into the extraction pass (no union) so the
     # clause cache's doc_sha partitioning survives to the final dedup
     e = extract_edges_with_macros(clauses, strategy=strategy, macro_source=dims)

@@ -15,10 +15,11 @@ Checked invariants (PLANS.md documents the same in prose):
      every join on it is a ShuffledHashJoin.
   2. The spine terminates at the InMemoryTableScan of the clause cache
      (i.e. the streamed side really is the cache, not a re-computed scan).
-  3. The visible chain has ZERO Python nodes, and exactly THREE
+  3. The visible chain has ZERO Python nodes, and exactly TWO
      partition-wide kernels exist across the persisted relations: the
-     corpus parse, the resolution composition, and the CC union-find
-     (the latter two over doc_sha-repartitioned DIMS).
+     corpus parse and the fused canonicalization-map kernel (resolution
+     composition + equivalence union-find in one call, over the
+     doc_sha-repartitioned DIMS).
 
 AQE is disabled for the plan build: the co-partitioning property is
 static (EnsureRequirements), and a stage-less tree is walkable without
@@ -112,10 +113,10 @@ def _walk_with_caches(node, seen_cache_ids):
 
 def test_python_kernels_live_only_inside_dim_caches(chain_plan):
     """The visible chain never crosses into Python (all kernels are inside
-    eagerly-persisted relations, computed once), and across the caches
-    exactly THREE kernels exist: the corpus parse, the resolution
-    composition, and the CC union-find — each a partition-wide crossing,
-    never per-row/per-group Python."""
+    persisted relations, computed once), and across the caches exactly
+    TWO kernels exist: the corpus parse and the fused canonicalization-
+    map kernel — each a partition-wide crossing, never per-row/per-group
+    Python."""
     visible = [n.nodeName() for n in _walk(chain_plan)]
     py_nodes = ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython", "BatchEvalPython")
     assert not [n for n in visible if n in py_nodes], (
@@ -123,9 +124,9 @@ def test_python_kernels_live_only_inside_dim_caches(chain_plan):
     )
     everything = [n.nodeName() for n in _walk_with_caches(chain_plan, set())]
     n_py = sum(1 for n in everything if n in py_nodes)
-    assert n_py == 3, (
-        "expected exactly 3 Python kernels incl. caches (parse, resolution "
-        f"compose, CC union-find), found {n_py}: "
+    assert n_py == 2, (
+        "expected exactly 2 Python kernels incl. caches (parse, fused "
+        f"canonicalization map), found {n_py}: "
         f"{[n for n in everything if 'Pandas' in n or 'Python' in n]}"
     )
 
