@@ -413,3 +413,27 @@ def test_per_doc_components_random_graphs_vs_union_find(spark):
     assert got == want
     # no labels leak across documents: every component shares its doc
     assert all(k[0] == f"{int(k[0][:64], 16):064x}" for k in got)
+
+
+def test_combined_map_kernel_equals_compositional(spark, clauses):
+    """The single-kernel fused map (production path) must emit the exact
+    row set of the compositional pipeline (resolution kernel → CC kernel
+    → fuse) over the full synthetic corpus dims."""
+    from fastobo_py_spark.operators.canonicalize import (
+        combined_map_distributed,
+        fuse_resolution_components,
+        resolution_map_distributed,
+    )
+    from fastobo_py_spark.operators.components import equivalence_components_from_clauses
+
+    dims = clauses.where(
+        (F.col("frame_type") == "Header")
+        | F.col("tag").isin("alt_id", "replaced_by", "equivalent_to", "xref")
+    )
+    fast = {tuple(r) for r in combined_map_distributed(dims).collect()}
+    res = resolution_map_distributed(dims).persist()
+    comps = equivalence_components_from_clauses(dims, resolution=res, strategy="shuffle_hash").persist()
+    slow = {tuple(r) for r in fuse_resolution_components(res, comps).collect()}
+    res.unpersist()
+    comps.unpersist()
+    assert fast == slow and fast
