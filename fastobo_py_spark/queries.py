@@ -2049,3 +2049,50 @@ def q_dedup_stream_minhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES.update({"dedup_stream_minhash": q_dedup_stream_minhash})
+
+
+def q_dedup_stream_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming hyperplane-LSH embedding near-dup drained over
+    micro-batches, deduped across tables — hash-matches the SAME DuckDB
+    oracle as the batch ``dedup_embedding_lsh`` query (identical seeded
+    hyperplanes as SQL literals)."""
+    import os
+    import shutil
+    import tempfile
+
+    from fastobo_py_spark.streaming.dedup import stream_embedding_near_dup
+
+    base = tempfile.mkdtemp(prefix="stream_emb_q_")
+    try:
+        src = os.path.join(base, "emb")
+        emb = load_table(spark, sf, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        emb.repartition(4).write.parquet(src)
+        stream = spark.readStream.schema("vec_id long, embedding array<double>").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            stream_embedding_near_dup(stream, threshold=0.4, n_tables=4, n_planes=4)
+            .writeStream.format("parquet")
+            .option("path", os.path.join(base, "out"))
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(os.path.join(base, "out"))
+            .select("vec_a", "vec_b")
+            .dropDuplicates()
+            .orderBy("vec_a", "vec_b")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES.update({"dedup_stream_embedding": q_dedup_stream_embedding})
+_GENERATED_ORACLES.update({"dedup_stream_embedding": sql_dedup_embedding_lsh})

@@ -202,3 +202,128 @@ def stream_minhash_pairs(docs: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-batch embedding near-dup (hyperplane LSH over the stream)
+# ---------------------------------------------------------------------------
+
+EMB_PAIRS_OUTPUT = T.StructType(
+    [
+        T.StructField("t", T.IntegerType()),
+        T.StructField("vec_a", T.LongType()),
+        T.StructField("vec_b", T.LongType()),
+    ]
+)
+
+EMB_BUCKET_STATE = T.StructType(
+    [
+        T.StructField("vec_ids", T.ArrayType(T.LongType())),
+        T.StructField("vecs", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ]
+)
+
+
+def _emb_signature_rows(n_tables: int, n_planes: int, seed: int):
+    """Stateless kernel: (vec_id, embedding) → one row per LSH table with
+    the table's sign-bit bucket — the same seeded hyperplanes as the
+    batch path (similarity.hyperplane_weights), rebuilt from the seed."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from fastobo_py_spark.operators.similarity import hyperplane_weights
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
+            bits = mat @ hyperplane_weights(mat.shape[1], n_tables * n_planes, seed) >= 0
+            out = []
+            for vec_id, row, v in zip(pdf["vec_id"], bits, pdf["embedding"]):
+                sig = "".join("1" if b else "0" for b in row)
+                for t in range(n_tables):
+                    out.append((int(vec_id), t, sig[t * n_planes : (t + 1) * n_planes], list(v)))
+            yield pd.DataFrame(out, columns=["vec_id", "t", "bucket", "v"])
+
+    return fn
+
+
+def _emb_bucket_pairs_fn(threshold: float):
+    def fn(key, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        """Stateful kernel per (table, bucket): exact cosine between each
+        new arrival and every stored member; pairs ≥ threshold emit.
+        Dot/norm are computed with SEQUENTIAL left-to-right sums (plain
+        Python loop) to match Spark's F.aggregate and DuckDB's
+        list_dot_product bit-for-bit at the threshold boundary — numpy's
+        pairwise/BLAS summation rounds differently."""
+        if state.exists:
+            ids, vecs = list(state.get[0]), [list(v) for v in state.get[1]]
+        else:
+            ids, vecs = [], []
+
+        def dot(a, b):
+            s = 0.0
+            for x, y in zip(a, b):
+                s += x * y
+            return s
+
+        def nrm(a):
+            s = 0.0
+            for x in a:
+                s += x * x
+            return s ** 0.5
+
+        t_ix = int(key[0])
+        out = []
+        new = []
+        for pdf in batches:
+            for vec_id, v in zip(pdf["vec_id"], pdf["v"]):
+                new.append((int(vec_id), [float(x) for x in v]))
+        new.sort()
+        for vec_id, v in new:
+            if vec_id in ids:
+                continue  # replayed batch
+            nv = nrm(v)
+            for mid, mv in zip(ids, vecs):
+                if dot(v, mv) / (nv * nrm(mv)) >= threshold:
+                    a, b = (vec_id, mid) if vec_id < mid else (mid, vec_id)
+                    out.append((t_ix, a, b))
+            ids.append(vec_id)
+            vecs.append(v)
+        state.update((ids, vecs))
+        if out:
+            yield pd.DataFrame(out, columns=["t", "vec_a", "vec_b"])
+
+    return fn
+
+
+def stream_embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_tables: int = 4,
+    n_planes: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Streaming embedding near-duplicate pairs: AND-OR hyperplane LSH
+    over an unbounded (vec_id, embedding) stream — the streaming dual of
+    ``operators.dedup.embedding_near_dup_lsh`` with identical seeded
+    hyperplanes, bucket structure, and exact-cosine verification, so the
+    drained pair set equals the batch path's output.
+
+    One stateful operator per (table, bucket) stores member vectors;
+    every new arrival verifies against its bucket's history only — never
+    all-pairs, across micro-batches and restarts. A pair sharing buckets
+    in several tables surfaces once per table; global dedup is the
+    reader's ``dropDuplicates(["vec_a","vec_b"])``."""
+    sigs = embeddings.select("vec_id", "embedding").mapInPandas(
+        _emb_signature_rows(n_tables, n_planes, seed),
+        "vec_id long, t int, bucket string, v array<double>",
+    )
+    return sigs.groupBy("t", "bucket").applyInPandasWithState(
+        _emb_bucket_pairs_fn(threshold),
+        outputStructType=EMB_PAIRS_OUTPUT,
+        stateStructType=EMB_BUCKET_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

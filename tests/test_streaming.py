@@ -243,3 +243,43 @@ def test_stream_minhash_pairs_match_batch(spark):
         assert got and all(abs(got[k] - want[k]) < 1e-9 for k in want)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_embedding_near_dup_matches_batch(spark):
+    """Streaming hyperplane-LSH embedding near-dup: drained pair set
+    (deduped across tables) equals the batch embedding_near_dup_lsh
+    output — same seeded hyperplanes, buckets, and threshold."""
+    from fastobo_py_spark.operators.dedup import embedding_near_dup_lsh
+    from fastobo_py_spark.streaming.dedup import stream_embedding_near_dup
+
+    base = tempfile.mkdtemp(prefix="stream_emb_")
+    try:
+        src = f"{base}/emb"
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        emb.repartition(4).write.parquet(src)
+        stream = spark.readStream.schema("vec_id long, embedding array<double>").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            stream_embedding_near_dup(stream, threshold=0.4, n_tables=4, n_planes=4)
+            .writeStream.format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["vec_a"], r["vec_b"])
+            for r in spark.read.parquet(f"{base}/out").collect()
+        }
+        want = {
+            (r["vec_a"], r["vec_b"])
+            for r in embedding_near_dup_lsh(emb, threshold=0.4, n_tables=4, n_planes=4).collect()
+        }
+        assert got == want and got
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
