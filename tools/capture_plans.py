@@ -46,11 +46,11 @@ def main() -> None:
     cl2 = clauses.repartition(8, "doc_sha").persist()
     cl2.count()
     show(
-        "Full canonical chain, strategy=shuffle_hash — the 10^12-file plan: "
-        "partition-wide MapInPandas resolution/CC kernels over doc_sha-repartitioned "
-        "dims, every dim a doc_sha-co-partitioned ShuffledHashJoin, ZERO exchanges "
-        "of the edge table (only dim sides shuffle), final dedup reuses the cache "
-        "partitioning",
+        "Full canonical chain, strategy=shuffle_hash — the 10^12-file plan: ONE "
+        "partition-wide MapInPandas kernel computes the fused canonicalization map "
+        "over doc_sha-repartitioned dims, every dim a doc_sha-co-partitioned "
+        "ShuffledHashJoin, ZERO exchanges of the edge table (only dim sides "
+        "shuffle), final dedup is a HashAggregate reusing the cache partitioning",
         canonical_edges(cl2, strategy="shuffle_hash"),
     )
     show("TPC-H Q5 shape (dims broadcast, AQE shuffles)", q_region_revenue(spark, "/root/testdata/sf0.001"))
