@@ -29,6 +29,7 @@ QueryStage special cases.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def _children(node):
@@ -172,3 +173,64 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
             spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS r3_orders_b")
         spark.sql("DROP TABLE IF EXISTS r3_cust_b")
+
+
+def test_parquet_scan_pushdown_and_pruning(spark):
+    """'Push down and prune' as a CI guard, not a claim: the Q1-shaped
+    scan must push its date filter into the parquet reader and read only
+    the consumed columns."""
+    from fastobo_py_spark.queries import q_pricing_summary
+
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = q_pricing_summary(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema, read_schema
+
+
+def test_hive_partition_pruning(spark, tmp_path):
+    """A lang-partitioned corpus layout must prune non-matching
+    partitions at the scan (PartitionFilters), the Iceberg-partition
+    analogue for the OBO filter."""
+    src = str(tmp_path / "part_corpus")
+    rows = [("r", f"f{i}", "c", lang, "format-version: 1.2\n") for i in range(20) for lang in ("OBO", "Python", "Rust")]
+    df = spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
+    df.write.partitionBy("lang").parquet(src)
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        scan = spark.read.parquet(src).where(F.col("lang") == "OBO").select("repo", "content")
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan
+    assert scan.count() == 20
+
+
+def test_hub_salting_distributes_skew(spark):
+    """O18 contract: a hub IDSPACE (GO/CHEBI — thousands of subjects
+    under one partition key) spreads ~evenly across salt buckets, while
+    each subject's edges stay colocated in ONE bucket (reader locality),
+    and salts are deterministic."""
+    from fastobo_py_spark.operators.materialize import with_salt
+
+    rows = [
+        (f"GO:{s}", "is_a", f"X:{i}", "is_a", "d", "GO")
+        for s in range(2000) for i in range(3)
+    ]
+    e = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, src_tag string, doc_sha string, idspace string"
+    )
+    salted = with_salt(e, "subj", 16)
+    per_salt = {r["salt"]: r["count"] for r in salted.groupBy("salt").count().collect()}
+    assert len(per_salt) == 16  # every bucket hit
+    assert max(per_salt.values()) < len(rows) * 0.15  # giant idspace split up
+    # subject locality: one subj never spans buckets
+    assert salted.groupBy("subj").agg(F.countDistinct("salt").alias("n")).where(F.col("n") > 1).count() == 0
+    # deterministic: same input → same salts
+    again = {tuple(r) for r in with_salt(e, "subj", 16).collect()}
+    assert again == {tuple(r) for r in salted.collect()}
