@@ -292,3 +292,135 @@ def dump_owl_functional(clauses: DataFrame) -> DataFrame:
             F.lit(preamble), F.lit("Ontology("), ont_iri, F.lit("\n"), F.col("axioms"), F.lit("\n)")
         ).alias("owl_text"),
     )
+
+
+def owl_axioms_rdf(clauses: DataFrame) -> DataFrame:
+    """(doc_sha, kind, axiom_rdf): RDF/XML rendering of the same
+    OBO→OWL2-DL core (reference ``dump_owl`` format 'rdf',
+    ``src/py/mod.rs:464-511``). Each axiom becomes one self-contained
+    fragment (``owl:Class`` / ``rdf:Description`` block) so documents
+    assemble by sorted concatenation exactly like the other renderers;
+    ``kind`` matches the functional constructor for census parity."""
+    ent = clauses.where((F.col("frame_type") != "Header") & (F.col("frame_id") != ""))
+    t, v1, v2, vt = F.col("tag"), F.col("v1"), F.col("v2"), F.col("value_text")
+    me = F.col("frame_id")
+    is_typedef = F.col("frame_type") == "Typedef"
+    is_instance = F.col("frame_type") == "Instance"
+    about = lambda c: F.concat(F.lit('rdf:about="'), _xiri(c), F.lit('"'))
+    res = lambda c: F.concat(F.lit('rdf:resource="'), _xiri(c), F.lit('"'))
+    desc = lambda body: F.concat(F.lit("<rdf:Description "), about(me), F.lit(">"), body, F.lit("</rdf:Description>"))
+    out = (
+        F.when(
+            t == "id",
+            F.struct(
+                F.lit("Declaration").alias("kind"),
+                F.when(is_typedef, F.concat(F.lit("<owl:ObjectProperty "), about(me), F.lit("/>")))
+                .when(is_instance, F.concat(F.lit("<owl:NamedIndividual "), about(me), F.lit("/>")))
+                .otherwise(F.concat(F.lit("<owl:Class "), about(me), F.lit("/>"))).alias("xml"),
+            ),
+        )
+        .when(
+            (t == "instance_of") & v1.isNotNull(),
+            F.struct(
+                F.lit("ClassAssertion").alias("kind"),
+                desc(F.concat(F.lit("<rdf:type "), res(v1), F.lit("/>"))).alias("xml"),
+            ),
+        )
+        .when(
+            (t == "name") & vt.isNotNull(),
+            F.struct(
+                F.lit("AnnotationAssertion").alias("kind"),
+                desc(F.concat(F.lit("<rdfs:label>"), _xesc(vt), F.lit("</rdfs:label>"))).alias("xml"),
+            ),
+        )
+        .when(
+            (t == "def") & vt.isNotNull(),
+            F.struct(
+                F.lit("AnnotationAssertion").alias("kind"),
+                desc(
+                    F.concat(F.lit("<obo:IAO_0000115>"), _xesc(vt), F.lit("</obo:IAO_0000115>"))
+                ).alias("xml"),
+            ),
+        )
+        .when(
+            (t == "is_obsolete") & (v1 == "true"),
+            F.struct(
+                F.lit("AnnotationAssertion").alias("kind"),
+                desc(
+                    F.lit(
+                        '<owl:deprecated rdf:datatype="http://www.w3.org/2001/XMLSchema#boolean">true</owl:deprecated>'
+                    )
+                ).alias("xml"),
+            ),
+        )
+        .when(
+            (t == "is_a") & v1.isNotNull() & ~is_typedef,
+            F.struct(
+                F.lit("SubClassOf").alias("kind"),
+                desc(F.concat(F.lit("<rdfs:subClassOf "), res(v1), F.lit("/>"))).alias("xml"),
+            ),
+        )
+        .when(
+            (t == "is_a") & v1.isNotNull() & is_typedef,
+            F.struct(
+                F.lit("SubObjectPropertyOf").alias("kind"),
+                desc(F.concat(F.lit("<rdfs:subPropertyOf "), res(v1), F.lit("/>"))).alias("xml"),
+            ),
+        )
+        .when(
+            (t == "relationship") & v1.isNotNull() & v2.isNotNull(),
+            F.struct(
+                F.lit("SubClassOf").alias("kind"),
+                desc(
+                    F.concat(
+                        F.lit("<rdfs:subClassOf><owl:Restriction><owl:onProperty "),
+                        res(v1),
+                        F.lit("/><owl:someValuesFrom "),
+                        res(v2),
+                        F.lit("/></owl:Restriction></rdfs:subClassOf>"),
+                    )
+                ).alias("xml"),
+            ),
+        )
+    )
+    return (
+        ent.select("doc_sha", out.alias("a"))
+        .where(F.col("a").isNotNull())
+        .select("doc_sha", F.col("a.kind").alias("kind"), F.col("a.xml").alias("axiom_rdf"))
+    )
+
+
+_RDF_PRE = (
+    '<?xml version="1.0"?>\n'
+    '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"\n'
+    '     xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"\n'
+    '     xmlns:owl="http://www.w3.org/2002/07/owl#"\n'
+    '     xmlns:obo="http://purl.obolibrary.org/obo/">\n'
+)
+
+
+def dump_owl_rdf(clauses: DataFrame) -> DataFrame:
+    """(doc_sha, owl_rdf): one OWL RDF/XML document per source doc — the
+    'rdf' sibling of the functional and owx dumps (same per-doc
+    sort/concat aggregation shape)."""
+    hdr_ont = (
+        clauses.where((F.col("frame_type") == "Header") & (F.col("tag") == "ontology"))
+        .groupBy("doc_sha")
+        .agg(F.min("value_text").alias("ont"))
+    )
+    body = (
+        owl_axioms_rdf(clauses)
+        .groupBy("doc_sha")
+        .agg(F.concat_ws("\n", F.sort_array(F.collect_list("axiom_rdf"))).alias("axioms"))
+    )
+    joined = body.join(hdr_ont, "doc_sha", "left")
+    ont_iri = F.concat(
+        F.lit("http://purl.obolibrary.org/obo/"), F.coalesce(F.col("ont"), F.col("doc_sha")), F.lit(".owl")
+    )
+    ont_el = F.concat(F.lit('<owl:Ontology rdf:about="'), _xesc(ont_iri), F.lit('"/>'))
+    return joined.select(
+        "doc_sha",
+        F.concat(
+            F.lit(_RDF_PRE), ont_el, F.lit("\n"), F.col("axioms"), F.lit("\n</rdf:RDF>")
+        ).alias("owl_rdf"),
+    )

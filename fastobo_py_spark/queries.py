@@ -1649,7 +1649,7 @@ def q_obo_owl_axioms(spark: SparkSession, sf: str) -> DataFrame:
     format-parametrized — the functional ('ofn') and OWL/XML ('owx')
     renderers must agree axiom for axiom (reference accepts both,
     src/py/mod.rs:464-511)."""
-    from fastobo_py_spark.operators.owl import owl_axioms, owl_axioms_owx
+    from fastobo_py_spark.operators.owl import owl_axioms, owl_axioms_owx, owl_axioms_rdf
 
     cl = _clauses(spark)
     fn = (
@@ -1658,7 +1658,8 @@ def q_obo_owl_axioms(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n_axioms"))
     )
     owx = owl_axioms_owx(cl).groupBy("kind").agg(F.count("*").alias("n_axioms_owx"))
-    return fn.join(owx, "kind", "full_outer").orderBy("kind")
+    rdf = owl_axioms_rdf(cl).groupBy("kind").agg(F.count("*").alias("n_axioms_rdf"))
+    return fn.join(owx, "kind", "full_outer").join(rdf, "kind", "full_outer").orderBy("kind")
 
 
 def sql_obo_owl_axioms() -> str:
@@ -1688,8 +1689,8 @@ def sql_obo_owl_axioms() -> str:
             counts["SubObjectPropertyOf" if ftype == "Typedef" else "SubClassOf"] += 1
         elif tag == "relationship" and v1 and v2:
             counts["SubClassOf"] += 1
-    rows = [(k, n, n) for k, n in sorted(counts.items())]
-    return _values_sql(rows, ["kind", "n_axioms", "n_axioms_owx"])
+    rows = [(k, n, n, n) for k, n in sorted(counts.items())]
+    return _values_sql(rows, ["kind", "n_axioms", "n_axioms_owx", "n_axioms_rdf"])
 
 
 QUERIES.update(

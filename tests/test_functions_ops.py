@@ -332,3 +332,28 @@ def test_owl_owx_dump(spark, clauses):
         owl_axioms_owx(clauses).groupBy("kind").agg(F.count("*").alias("n")).collect()
     }
     assert fn == ox and fn
+
+
+def test_owl_rdf_dump(spark, clauses):
+    """RDF/XML sibling of the OWL dumps: well-formed XML, same per-kind
+    axiom census as the functional and owx renderers."""
+    import xml.etree.ElementTree as ET
+
+    from fastobo_py_spark.operators.owl import dump_owl_rdf, owl_axioms, owl_axioms_rdf
+
+    docs = {r["doc_sha"]: r["owl_rdf"] for r in dump_owl_rdf(clauses).collect()}
+    assert len(docs) == 40
+    for text in docs.values():
+        root = ET.fromstring(text)  # raises on malformed XML
+        assert root.tag.endswith("RDF")
+
+    fn = {
+        (r["kind"], r["n"]) for r in
+        owl_axioms(clauses).groupBy(F.substring_index("axiom", "(", 1).alias("kind")).agg(
+            F.count("*").alias("n")).collect()
+    }
+    rdf = {
+        (r["kind"], r["n"]) for r in
+        owl_axioms_rdf(clauses).groupBy("kind").agg(F.count("*").alias("n")).collect()
+    }
+    assert fn == rdf and fn
