@@ -122,11 +122,13 @@ def _timed_kg_flow(spark, corpus, n_files: int) -> dict:
     )
     clauses.count()
     t_parse = time.time() - t0
+    cpu_parse = _tree_cpu_seconds() - cpu0
 
     t1 = time.time()
     e = canonical_edges(clauses, strategy="shuffle_hash")
     n_edges = e.count()
     t_graph = time.time() - t1
+    cpu_graph = _tree_cpu_seconds() - cpu0 - cpu_parse
 
     dt = time.time() - t0
     clauses.unpersist()
@@ -137,6 +139,8 @@ def _timed_kg_flow(spark, corpus, n_files: int) -> dict:
         "t_graph": round(t_graph, 3),
         "t_total": round(dt, 3),
         "cpu_sec": round(_tree_cpu_seconds() - cpu0, 1),
+        "cpu_parse": round(cpu_parse, 1),
+        "cpu_graph": round(cpu_graph, 1),
     }
 
 
@@ -292,9 +296,11 @@ def run_scaling() -> dict:
     out["scaling_efficiency"] = round(speedup / 4.0, 3)
     out["stages"] = {
         "parse_sec": {"n": lo["t_parse"], "4n": hi["t_parse"],
-                      "efficiency": round(lo["t_parse"] / hi["t_parse"] / 4.0, 3)},
+                      "efficiency": round(lo["t_parse"] / hi["t_parse"] / 4.0, 3),
+                      "cpu_n": lo.get("cpu_parse"), "cpu_4n": hi.get("cpu_parse")},
         "graph_sec": {"n": lo["t_graph"], "4n": hi["t_graph"],
-                      "efficiency": round(lo["t_graph"] / hi["t_graph"] / 4.0, 3)},
+                      "efficiency": round(lo["t_graph"] / hi["t_graph"] / 4.0, 3),
+                      "cpu_n": lo.get("cpu_graph"), "cpu_4n": hi.get("cpu_graph")},
     }
     # hardware attribution: whole-job CPU-seconds per level (work done, not
     # wall) — a rising total at 4N means cycles/op inflation (memory
