@@ -2097,3 +2097,68 @@ def q_dedup_stream_embedding(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES.update({"dedup_stream_embedding": q_dedup_stream_embedding})
 _GENERATED_ORACLES.update({"dedup_stream_embedding": sql_dedup_embedding_lsh})
+
+
+def q_obo_ancestors(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive is_a ancestor closure over the canonical KG — the
+    classic downstream ontology query (reference users walk the AST in
+    Python per doc; here it is a path-doubling DataFrame fixpoint). The
+    DuckDB oracle recomputes the closure INDEPENDENTLY with a recursive
+    CTE over the pure-Python oracle's edge list — a cross-engine check
+    of the closure algorithm itself."""
+    from fastobo_py_spark.operators.graph import transitive_ancestors
+    from fastobo_py_spark.operators.idents import edge_idspace
+    from fastobo_py_spark.plans.pipeline import canonical_edges
+
+    cl = _clauses(spark)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    caches: list = []
+    e = canonical_edges(cl.repartition(n, "doc_sha"), strategy="shuffle_hash", persisted_out=caches)
+    anc = transitive_ancestors(e)
+    out = (
+        anc.select(edge_idspace(F.col("id")).alias("idspace"), "id")
+        .groupBy("idspace")
+        .agg(F.count("*").alias("n_pairs"), F.countDistinct("id").alias("n_ids"))
+        .orderBy("idspace")
+    )
+    # the closure is checkpointed (materialized) inside transitive_ancestors,
+    # so the chain caches can release now
+    rows = out.collect()
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+def sql_obo_ancestors() -> str:
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    edges = oracle.build_edges(generate_corpus(**_CORPUS_KW), canonicalize=True)
+    base = sorted({(sha, s, o) for s, p, o, _, sha in edges if p == "is_a" and s != o})
+    rows = ",\n".join(
+        f"({_sql_quote(d)}, {_sql_quote(s)}, {_sql_quote(o)})" for d, s, o in base
+    )
+    return f"""
+WITH RECURSIVE base(doc_sha, id, anc) AS (VALUES
+{rows}
+),
+closure(doc_sha, id, anc) AS (
+  SELECT * FROM base
+  UNION
+  SELECT c.doc_sha, c.id, b.anc
+  FROM closure c JOIN base b ON b.doc_sha = c.doc_sha AND b.id = c.anc
+  WHERE c.id <> b.anc
+)
+SELECT CASE WHEN regexp_matches(id, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN 'URL'
+            WHEN contains(id, ':') THEN split_part(id, ':', 1)
+            ELSE 'UNPREFIXED' END AS idspace,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT id) AS BIGINT) AS n_ids
+FROM closure
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES.update({"obo_ancestors": q_obo_ancestors})
+_GENERATED_ORACLES.update({"obo_ancestors": sql_obo_ancestors})

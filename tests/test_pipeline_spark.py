@@ -437,3 +437,30 @@ def test_combined_map_kernel_equals_compositional(spark, clauses):
     res.unpersist()
     comps.unpersist()
     assert fast == slow and fast
+
+
+def test_transitive_ancestors_semantics(spark):
+    """Path-doubling closure: diamond + deep chain converge in log rounds,
+    ancestors never cross documents, and a cycle terminates (self-pairs
+    dropped, mutual ancestry kept)."""
+    from fastobo_py_spark.operators.graph import transitive_ancestors
+
+    d1, d2 = "A" * 64, "B" * 64
+    rows = (
+        # d1: diamond a->b, a->c, b->d, c->d  plus chain d->e->f
+        [(d1, a, "is_a", b) for a, b in
+         [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"), ("e", "f")]]
+        # d2: same local names, different topology — must not leak into d1
+        + [(d2, "a", "is_a", "f")]
+        # d2: a 2-cycle x<->y
+        + [(d2, "x", "is_a", "y"), (d2, "y", "is_a", "x")]
+    )
+    e = spark.createDataFrame(rows, "doc_sha string, subj string, pred string, obj string")
+    got = {(r["doc_sha"], r["id"], r["ancestor"]) for r in transitive_ancestors(e).collect()}
+    want_d1 = {
+        ("a", x) for x in ("b", "c", "d", "e", "f")
+    } | {("b", x) for x in ("d", "e", "f")} | {("c", x) for x in ("d", "e", "f")} | {
+        ("d", "e"), ("d", "f"), ("e", "f")
+    }
+    assert {(i, a) for d, i, a in got if d == d1} == want_d1
+    assert {(i, a) for d, i, a in got if d == d2} == {("a", "f"), ("x", "y"), ("y", "x")}
