@@ -60,3 +60,65 @@ def transitive_ancestors(
             break
         prev_fp = fp
     return closure
+
+
+def ancestors_of(
+    edges: DataFrame,
+    seeds: DataFrame,
+    pred: str = "is_a",
+    max_depth: int = 25,
+) -> DataFrame:
+    """(doc_sha, id, ancestor, min_depth) for the SEED ids only — the
+    interactive "ancestors of THESE terms" query (reference users walk the
+    AST per term, ``docs/examples/graph.ipynb``; here it is a frontier BFS).
+
+    ``seeds`` carries an ``id`` column, optionally scoped by ``doc_sha``.
+    Unlike :func:`transitive_ancestors` (path-doubling over the whole
+    graph), this carries ONLY seed-reachable frontier pairs — at corpus
+    scale the working set is |seeds| × depth × avg-fanout, not |edges| ×
+    depth, and each round is one co-keyed join on (doc_sha, vertex).
+    ``min_depth`` is the shortest is_a path length (BFS discovery order +
+    seen-set anti-join make first discovery minimal). Cycle-safe: the
+    anti-join stops re-expansion; self-pairs are dropped.
+    """
+    base = (
+        edges.where(F.col("pred") == pred)
+        .select("doc_sha", F.col("subj").alias("child"), F.col("obj").alias("parent"))
+        .where(F.col("child") != F.col("parent"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    keys = ["doc_sha", "id"] if "doc_sha" in seeds.columns else ["id"]
+    sd = seeds.select(*keys).dropDuplicates()
+    result = (
+        base.select("doc_sha", F.col("child").alias("id"), F.col("parent").alias("ancestor"))
+        .join(sd, keys, "left_semi")
+        .withColumn("min_depth", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    # renamed copy: hop joins would otherwise be ambiguous self-joins
+    # (result's lineage already contains base)
+    bhop = base.select(
+        F.col("doc_sha").alias("__bd"), F.col("child").alias("__bc"), F.col("parent").alias("__bp")
+    )
+    frontier = result
+    for depth in range(2, max_depth + 1):
+        hop = (
+            frontier.select(
+                F.col("doc_sha").alias("__d"), "id", F.col("ancestor").alias("__mid")
+            )
+            .join(bhop, (F.col("__d") == F.col("__bd")) & (F.col("__mid") == F.col("__bc")))
+            .select(F.col("__d").alias("doc_sha"), "id", F.col("__bp").alias("ancestor"))
+            .where(F.col("id") != F.col("ancestor"))
+            .dropDuplicates()
+        )
+        new = (
+            hop.join(result.select("doc_sha", "id", "ancestor"), ["doc_sha", "id", "ancestor"], "left_anti")
+            .withColumn("min_depth", F.lit(depth).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if new.limit(1).count() == 0:
+            break
+        result = result.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return result

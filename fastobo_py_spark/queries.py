@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 from fastobo_py_spark.operators import dedup as D
 from fastobo_py_spark.operators import similarity as S
 from fastobo_py_spark.operators import text as X
+from fastobo_py_spark.operators.hints import gated_broadcast
 from fastobo_py_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -68,7 +69,7 @@ def q_top_revenue_orders(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(gated_broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
@@ -93,7 +94,7 @@ def q_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way star join; dims broadcast."""
     region = F.broadcast(load_table(spark, sf, "region"))
     nation = F.broadcast(load_table(spark, sf, "nation"))
-    supplier = F.broadcast(load_table(spark, sf, "supplier"))
+    supplier = gated_broadcast(load_table(spark, sf, "supplier"))
     customer = load_table(spark, sf, "customer")
     orders = load_table(spark, sf, "orders")
     li = load_table(spark, sf, "lineitem")
@@ -2162,3 +2163,62 @@ ORDER BY 1
 
 QUERIES.update({"obo_ancestors": q_obo_ancestors})
 _GENERATED_ORACLES.update({"obo_ancestors": sql_obo_ancestors})
+
+
+def q_obo_ancestors_seeded(spark: SparkSession, sf: str) -> DataFrame:
+    """Seed-set ancestor query with min-depth: "ancestors of THESE terms"
+    (the common interactive walk — reference users do exactly this over the
+    AST, docs/examples/graph.ipynb). Seeds = is_a subjects whose id ends in
+    '0' (a deterministic predicate both engines can evaluate). The DuckDB
+    oracle recomputes the seeded walk independently with a depth-carrying
+    recursive CTE and min(depth) — a cross-engine check of BFS min-depth
+    semantics, not just reachability."""
+    from fastobo_py_spark.operators.graph import ancestors_of
+    from fastobo_py_spark.plans.pipeline import canonical_edges
+
+    cl = _clauses(spark)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    caches: list = []
+    e = canonical_edges(cl.repartition(n, "doc_sha"), strategy="shuffle_hash", persisted_out=caches)
+    seeds = (
+        e.where(F.col("pred") == "is_a")
+        .select(F.col("subj").alias("id"))
+        .where(F.col("id").endswith("0"))
+        .dropDuplicates()
+    )
+    anc = ancestors_of(e, seeds).orderBy("doc_sha", "id", "ancestor")
+    rows = anc.collect()
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, anc.schema)
+
+
+def sql_obo_ancestors_seeded() -> str:
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    edges = oracle.build_edges(generate_corpus(**_CORPUS_KW), canonicalize=True)
+    base = sorted({(sha, s, o) for s, p, o, _, sha in edges if p == "is_a" and s != o})
+    rows = ",\n".join(
+        f"({_sql_quote(d)}, {_sql_quote(s)}, {_sql_quote(o)})" for d, s, o in base
+    )
+    return f"""
+WITH RECURSIVE base(doc_sha, child, parent) AS (VALUES
+{rows}
+),
+walk(doc_sha, id, anc, depth) AS (
+  SELECT doc_sha, child, parent, 1 FROM base WHERE child LIKE '%0'
+  UNION
+  SELECT w.doc_sha, w.id, b.parent, w.depth + 1
+  FROM walk w JOIN base b ON b.doc_sha = w.doc_sha AND b.child = w.anc
+  WHERE w.id <> b.parent AND w.depth < 25
+)
+SELECT doc_sha, id, anc AS ancestor, CAST(min(depth) AS BIGINT) AS min_depth
+FROM walk
+GROUP BY doc_sha, id, anc
+ORDER BY doc_sha, id, ancestor
+"""
+
+
+QUERIES.update({"obo_ancestors_seeded": q_obo_ancestors_seeded})
+_GENERATED_ORACLES.update({"obo_ancestors_seeded": sql_obo_ancestors_seeded})

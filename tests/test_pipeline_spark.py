@@ -464,3 +464,34 @@ def test_transitive_ancestors_semantics(spark):
     }
     assert {(i, a) for d, i, a in got if d == d1} == want_d1
     assert {(i, a) for d, i, a in got if d == d2} == {("a", "f"), ("x", "y"), ("y", "x")}
+
+
+def test_ancestors_of_seeded_min_depth(spark):
+    """Seeded BFS: only seed rows appear, min_depth is the SHORTEST path
+    (diamond: two length-2 routes to d -> depth 2), doc scoping holds, and
+    a cycle reachable from a seed terminates."""
+    from fastobo_py_spark.operators.graph import ancestors_of
+
+    d1, d2 = "A" * 64, "B" * 64
+    rows = (
+        [(d1, a, "is_a", b) for a, b in
+         [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"), ("a", "d")]]
+        + [(d2, "a", "is_a", "z")]           # same seed name, other doc
+        + [(d1, "s", "is_a", "x"), (d1, "x", "is_a", "y"), (d1, "y", "is_a", "x")]
+    )
+    e = spark.createDataFrame(rows, "doc_sha string, subj string, pred string, obj string")
+    seeds = spark.createDataFrame([("a",), ("s",)], "id string")
+    got = {
+        (r["doc_sha"], r["id"], r["ancestor"]): r["min_depth"]
+        for r in ancestors_of(e, seeds).collect()
+    }
+    # unseeded ids never appear
+    assert {k[1] for k in got} == {"a", "s"}
+    # shortest path wins: a->d directly (depth 1), not via b/c (depth 2)
+    assert got[(d1, "a", "d")] == 1
+    assert got[(d1, "a", "b")] == 1 and got[(d1, "a", "c")] == 1
+    assert got[(d1, "a", "e")] == 2  # a->d->e
+    assert got[(d2, "a", "z")] == 1  # per-doc scoping
+    # cycle from seed s: x (1), y (2); no self-pairs, terminates
+    assert got[(d1, "s", "x")] == 1 and got[(d1, "s", "y")] == 2
+    assert (d1, "s", "s") not in got and (d1, "x", "y") not in got

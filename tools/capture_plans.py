@@ -78,7 +78,8 @@ with `python tools/capture_plans.py`). What to look for, per the
 * **WholeStageCodegen** spans covering the extraction/linking projections
   — the CORPUS-sized hot path crosses into Python exactly once (the Arrow
   parse MapInPandas, inside the clause cache); the only other Python
-  crossings are the two partition-wide resolution/CC kernels, which run
+  crossing is the single fused canonicalization kernel (resolution ∘ CC
+  map, canonicalize.combined_map_distributed), which runs
   over the doc_sha-repartitioned alias/equivalence DIMS — a vanishing
   fraction of the corpus (tests/test_plan_regression.py enforces both).
 * **AQE** (AdaptiveSparkPlan) wrapping every shuffle so skewed ontology
