@@ -11,7 +11,11 @@ North-rule requirements implemented here:
 The manifest is append-only parquet (an Iceberg table on a real cluster,
 where commit atomicity comes from the table format; locally, parquet
 append of one sub-directory per batch gives the same crash-consistency:
-a batch is visible only after its files commit).
+a batch is visible only after its files commit). Fragmentation is bounded
+by :func:`compact_manifest` — a crash-safe write-then-swap rewrite into a
+few doc_sha-sorted files once part-count passes a threshold (Iceberg's
+rewrite_data_files analogue), so the resume anti-join never scans
+unbounded small files.
 """
 
 from __future__ import annotations
@@ -148,12 +152,104 @@ def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest")
 
 
+def _adopt_orphan_compaction(out_dir: str) -> bool:
+    """Crash recovery for :func:`compact_manifest`'s two-rename swap: if
+    the primary manifest dir is missing but a fully-committed
+    ``_manifest.compact-*`` dir (its ``_SUCCESS`` marker present) exists,
+    adopt the newest one. Returns True if a rename happened."""
+    import glob
+
+    p = _manifest_path(out_dir)
+    if os.path.isdir(p):
+        return False
+    candidates = [
+        d for d in sorted(glob.glob(p + ".compact-*"))
+        if os.path.exists(os.path.join(d, "_SUCCESS"))
+    ]
+    if not candidates:
+        return False
+    os.rename(candidates[-1], p)
+    return True
+
+
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    _adopt_orphan_compaction(out_dir)
     p = _manifest_path(out_dir)
     try:
         return spark.read.parquet(p)
     except Exception:
         return None
+
+
+def _manifest_part_count(out_dir: str) -> int:
+    p = _manifest_path(out_dir)
+    try:
+        return sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+    except FileNotFoundError:
+        return 0
+
+
+# rewrite once fragmentation passes this; one parquet part per ~5M keys
+MANIFEST_COMPACT_MAX_PARTS = 128
+_MANIFEST_ROWS_PER_PART = 5_000_000
+
+
+def compact_manifest(
+    spark: SparkSession,
+    out_dir: str,
+    max_parts: int = MANIFEST_COMPACT_MAX_PARTS,
+    target_parts: int | None = None,
+) -> dict:
+    """O19 manifest compaction: collapse the append-only manifest into a
+    few doc_sha-sorted parquet files once it fragments past ``max_parts``.
+
+    Every batch appends part files forever; at the 10^12-file design point
+    the resume anti-join would otherwise scan millions of tiny parts (the
+    read in :func:`pending_corpus` IS the restart hot path). Iceberg calls
+    this rewrite_data_files; on plain parquet we get the same effect with
+    a crash-safe write-then-swap:
+
+      1. read + deduplicate on the anti-join key (crash-reruns may have
+         recorded a doc twice; ``min`` keeps the earliest completion —
+         a deterministic survivor, unlike dropDuplicates),
+      2. write the compacted copy to ``_manifest.compact-<id>`` and let
+         parquet commit it (``_SUCCESS``) before anything is touched,
+      3. swap via two directory renames.
+
+    A crash between the renames leaves the committed compact dir behind;
+    :func:`read_manifest` adopts it on the next run
+    (:func:`_adopt_orphan_compaction`), so no state is ever lost and the
+    worst crash window costs idempotent rework, never correctness.
+    """
+    import shutil
+
+    n = _manifest_part_count(out_dir)
+    if n <= max_parts:
+        return {"compacted": False, "parts_before": n}
+    p = _manifest_path(out_dir)
+    m = (
+        spark.read.parquet(p)
+        .groupBy(*MANIFEST_COLS)
+        .agg(
+            F.min("payload_sha").alias("payload_sha"),
+            F.min("batch_id").alias("batch_id"),
+            F.min("completed_at").alias("completed_at"),
+        )
+    )
+    rows = m.count()
+    parts = target_parts or max(1, (rows + _MANIFEST_ROWS_PER_PART - 1) // _MANIFEST_ROWS_PER_PART)
+    cid = uuid.uuid4().hex[:8]
+    tmp = p + f".compact-{cid}"
+    # sorted by the key: row-group min/max stats make future doc_sha
+    # probes skippable, and co-keyed readers get locality for free
+    m.repartition(parts, "doc_sha").sortWithinPartitions("doc_sha").write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    old = p + f".old-{cid}"
+    os.rename(p, old)
+    os.rename(tmp, p)
+    shutil.rmtree(old, ignore_errors=True)
+    return {"compacted": True, "parts_before": n, "parts_after": parts, "rows": rows}
 
 
 def _with_doc_sha(corpus: DataFrame) -> DataFrame:
@@ -213,6 +309,7 @@ def run_pipeline(
     resume: bool = True,
     n_salts: int = 16,
     canonicalize: bool = True,
+    compact_threshold: int | None = MANIFEST_COMPACT_MAX_PARTS,
 ) -> dict:
     """Run the full OBO→KG job; returns the metrics dict.
 
@@ -278,6 +375,11 @@ def run_pipeline(
     )
     done = done.observe(obs["done"], F.count(F.lit(1)).alias("n"))
     done.write.mode("append").parquet(_manifest_path(out_dir))
+    compaction = (
+        compact_manifest(spark, out_dir, max_parts=compact_threshold)
+        if compact_threshold is not None
+        else {"compacted": False}
+    )
 
     metrics = {
         "batch_id": batch_id,
@@ -286,6 +388,7 @@ def run_pipeline(
         "quarantined_docs": obs["quarantine"].get["n"],
         "edges": obs["edges"].get["n"],
         "nodes": obs["nodes"].get["n"],
+        "manifest_compaction": compaction,
         "elapsed_sec": round(time.time() - t0, 3),
     }
     clauses.unpersist()

@@ -495,3 +495,71 @@ def test_ancestors_of_seeded_min_depth(spark):
     # cycle from seed s: x (1), y (2); no self-pairs, terminates
     assert got[(d1, "s", "x")] == 1 and got[(d1, "s", "y")] == 2
     assert (d1, "s", "s") not in got and (d1, "x", "y") not in got
+
+
+def test_manifest_compaction_preserves_resume(spark, corpus):
+    """O19 compaction: force a rewrite (threshold 0) after a half-run,
+    assert the manifest collapsed to the target part count, and that
+    resume behaves IDENTICALLY before/after — remainder processed once,
+    then no-op; totals equal a single shot."""
+    from fastobo_py_spark.plans.pipeline import (
+        _manifest_part_count,
+        compact_manifest,
+        pending_corpus,
+        run_pipeline,
+    )
+
+    single = tempfile.mkdtemp(prefix="kg_oneshot_")
+    out = tempfile.mkdtemp(prefix="kg_compact_")
+    try:
+        run_pipeline(spark, corpus, single, canonicalize=False, compact_threshold=None)
+        want_edges = spark.read.parquet(single + "/edges").count()
+
+        half = corpus.where(F.crc32(F.col("path")) % 2 == 0)
+        m1 = run_pipeline(spark, half, out, canonicalize=False, compact_threshold=None)
+        assert m1["docs_in_batch"] > 0
+        frag = _manifest_part_count(out)
+        st = compact_manifest(spark, out, max_parts=0)
+        assert st["compacted"] and st["parts_before"] == frag
+        assert _manifest_part_count(out) == st["parts_after"] <= frag
+        # compacted manifest answers the anti-join exactly as before
+        assert pending_corpus(spark, half, out).count() == 0
+        m2 = run_pipeline(spark, corpus, out, canonicalize=False, compact_threshold=0)
+        assert m2["docs_in_batch"] == 203 - m1["docs_in_batch"]
+        assert m2["manifest_compaction"]["compacted"] is True
+        m3 = run_pipeline(spark, corpus, out, canonicalize=False, compact_threshold=0)
+        assert m3["docs_in_batch"] == 0
+        assert spark.read.parquet(out + "/edges").count() == want_edges
+    finally:
+        shutil.rmtree(single, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_manifest_compaction_crash_window_adoption(spark, corpus):
+    """Crash between the two swap renames leaves only a committed
+    _manifest.compact-* dir; read_manifest must adopt it with no loss."""
+    import os
+
+    from fastobo_py_spark.plans.pipeline import (
+        _manifest_path,
+        pending_corpus,
+        read_manifest,
+        run_pipeline,
+    )
+
+    out = tempfile.mkdtemp(prefix="kg_crash_")
+    try:
+        m1 = run_pipeline(spark, corpus, out, canonicalize=False, compact_threshold=None)
+        p = _manifest_path(out)
+        n_before = read_manifest(spark, out).count()
+        # simulate: compact dir fully committed, primary already renamed away
+        os.rename(p, p + ".compact-deadbeef")
+        assert os.path.exists(os.path.join(p + ".compact-deadbeef", "_SUCCESS"))
+        m = read_manifest(spark, out)
+        assert m is not None and m.count() == n_before
+        assert os.path.isdir(p) and not os.path.isdir(p + ".compact-deadbeef")
+        assert pending_corpus(spark, corpus, out).count() == 0
+        m2 = run_pipeline(spark, corpus, out, canonicalize=False)
+        assert m2["docs_in_batch"] == 0 and m1["docs_in_batch"] == 203
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
