@@ -2,10 +2,12 @@
 
 Image/audio/video payloads ride as ``binary`` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` kernels. The actual codecs are NOT in this
-container — the decode step is a clearly-marked deterministic fake (or
-``NotImplementedError`` in strict mode); everything Spark-side (schema,
-batching, partitioning, UDF signatures) is real and tested.
+Arrow-batched ``mapInPandas`` kernels. Image decode is REAL even here:
+Pillow when importable, else the vendored pure-stdlib PNG codec
+(operators/png_codec.py) — strict mode (default) only raises for
+payloads neither branch can decode, so non-PNG audio/video feature
+extraction remains a clearly-marked deterministic fake until a real
+codec is plugged into the same kernel.
 """
 
 from __future__ import annotations
@@ -69,6 +71,37 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+def _synth_png_pixels(i: int) -> tuple[int, int, int, bytes]:
+    """Deterministic raw pixels for synthetic PNG #i: varied sizes and all
+    four supported color types (gray, RGB, RGBA, gray+alpha), gradient
+    pattern (x·7 + y·13 + c·41 + i·31) mod 256. This is the INPUT
+    definition — oracles re-derive expected stats from it directly, while
+    the Spark path must round-trip encode→decode→unfilter to agree."""
+    w = 5 + (i * 7) % 28
+    h = 4 + (i * 11) % 23
+    ch = (1, 3, 4, 2)[i % 4]
+    pix = bytearray(
+        (x * 7 + y * 13 + c * 41 + i * 31) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(ch)
+    )
+    return w, h, ch, bytes(pix)
+
+
+def synth_png_media(spark: SparkSession, n: int = 12) -> DataFrame:
+    """Media table whose image payloads are REAL (valid) PNGs from the
+    vendored encoder — the table that drives the real-decode branch
+    end-to-end in this codec-less container."""
+    from fastobo_py_spark.operators.png_codec import encode_png
+
+    rows = []
+    for i in range(n):
+        w, h, ch, pix = _synth_png_pixels(i)
+        rows.append((i, "image", "image/png", bytearray(encode_png(w, h, ch, pix)), w, h, None))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
 def _pil_image_features(payload: bytes, dim: int) -> list[float]:
     """Real-codec path (used automatically when Pillow is importable and
     the payload decodes): grayscale → dim×dim resize → column means.
@@ -101,15 +134,37 @@ def _fake_decode_features(payload: bytes, dim: int = 16, strict: bool | None = N
     return [v / 65535.0 for v in vals[:dim]]
 
 
+def _png_image_features(payload: bytes, dim: int) -> list[float]:
+    """REAL decode without Pillow: the vendored pure-stdlib PNG codec
+    (operators/png_codec.py) → integer luma → nearest-neighbor dim×dim →
+    column means. Same grayscale weights and feature definition as the
+    Pillow branch, so swapping codecs swaps implementations, not
+    semantics. Raises ValueError for non-PNG / unsupported payloads."""
+    from fastobo_py_spark.operators.png_codec import (
+        column_mean_features,
+        decode_png,
+        resize_nearest,
+        to_gray,
+    )
+
+    w, h, ch, pix = decode_png(payload)
+    return column_mean_features(resize_nearest(to_gray(w, h, ch, pix), w, h, dim), dim)
+
+
 def _decode_features(payload: bytes, kind: str, dim: int, strict: bool | None) -> list[float]:
-    """Codec dispatch: real Pillow decode for images when available and
-    decodable; otherwise the strict/fake policy above. Keeps strict mode
-    honest — with no codec installed, the default still raises."""
+    """Codec dispatch: Pillow when importable, else the vendored pure-
+    stdlib PNG decoder for decodable PNG payloads, else the strict/fake
+    policy above. Keeps strict mode honest — a non-decodable payload with
+    no codec installed still raises by default."""
     if kind == "image":
         try:
             return _pil_image_features(payload, dim)
         except ImportError:
-            pass  # Pillow absent (this sandbox) — fall through to policy
+            # Pillow absent (this sandbox) — try the vendored PNG path
+            try:
+                return _png_image_features(payload, dim)
+            except Exception:
+                pass  # not a (supported) PNG — fall through to policy
         except Exception:
             pass  # undecodable payload (synthetic bytes) — same fallthrough
     return _fake_decode_features(payload, dim, strict)
