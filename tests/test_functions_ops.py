@@ -408,3 +408,25 @@ def test_real_decode_strict_without_pillow(spark):
     assert all(len(v) == 8 and all(0.0 <= x <= 1.0 for x in v) for v in feats.values())
     again = {r["media_id"]: r["features"] for r in extract_features(media, dim=8).collect()}
     assert feats == again
+
+
+def test_cosine_udf_matches_hof(spark):
+    """The Arrow sequential-fold kernels must equal the interpreted
+    Catalyst HOF spec BIT-FOR-BIT on real embeddings — this is the
+    float-parity contract the DuckDB threshold comparisons rest on."""
+    from fastobo_py_spark.operators.similarity import _dot_hof, _norm_hof, dot_udf, norm_udf
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .limit(200)
+    )
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib")).limit(2000)
+    diff = pairs.select(
+        (norm_udf("va") == _norm_hof(F.col("va"))).alias("n_eq"),
+        (dot_udf("va", "vb") == _dot_hof(F.col("va"), F.col("vb"))).alias("d_eq"),
+    )
+    bad = diff.where(~F.col("n_eq") | ~F.col("d_eq")).count()
+    assert bad == 0
