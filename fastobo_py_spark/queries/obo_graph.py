@@ -1,0 +1,298 @@
+"""OBO graph-level queries: OBO-graph JSON/YAML round-trip, the
+resumable pipeline run, and transitive/seeded ancestor closures."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fastobo_py_spark.queries._registry import (
+    GENERATED_ORACLES as _GENERATED_ORACLES,
+    QUERIES,
+    STATIC_SQLS,
+)
+from fastobo_py_spark.queries._shared import (
+    _CORPUS_KW,
+    _clauses,
+    _corpus_df,
+    _sql_quote,
+    _values_sql,
+)
+
+
+def q_obo_graph_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """dump_graph → load_graph round-trip with node meta: one summary row
+    proving definition/synonyms/xrefs/deprecated survive the JSON hop
+    (reference parity: fastobo.dump_graph/load_graph, src/py/mod.rs:333-422)."""
+    from fastobo_py_spark.operators.graphjson import dump_graph, load_graph
+    from fastobo_py_spark.operators.materialize import build_nodes
+    from fastobo_py_spark.operators.triples import extract_edges
+
+    cl = _clauses(spark)
+    nodes = build_nodes(cl)
+    edges = (
+        extract_edges(cl)
+        .where(~F.col("pred").startswith("intersection_of:"))
+        .dropDuplicates(["subj", "pred", "obj", "doc_sha"])
+    )
+    dumped = dump_graph(nodes, edges)
+    n2, e2 = load_graph(spark, dumped)
+    nagg = n2.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.when(F.col("definition").isNotNull(), 1).otherwise(0)).alias("n_defs"),
+        F.sum(F.size("synonyms")).alias("n_synonyms"),
+        F.sum(F.size("xrefs")).alias("n_xrefs"),
+        F.sum(F.when(F.col("obsolete"), 1).otherwise(0)).alias("n_deprecated"),
+    )
+    eagg = e2.agg(F.count("*").alias("n_edges"), F.countDistinct("pred").alias("n_preds"))
+    # YAML hop too (reference load_graph accepts JSON and YAML,
+    # src/py/mod.rs:333-365): same node/edge totals must survive
+    from fastobo_py_spark.operators.graphjson import dump_graph_yaml, load_graph_yaml
+
+    n3, e3 = load_graph_yaml(spark, dump_graph_yaml(nodes, edges))
+    yagg = n3.agg(F.count("*").alias("n_nodes_yaml")).crossJoin(
+        e3.agg(F.count("*").alias("n_edges_yaml"))
+    )
+    return nagg.crossJoin(eagg).crossJoin(yagg)
+
+
+def sql_obo_graph_roundtrip() -> str:
+    import re as _re
+
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    rows = generate_corpus(**_CORPUS_KW)
+    clauses, _ = oracle.parse_rows(rows)
+    frames: dict = {}
+    for c in clauses:
+        if c[3] == "Header" or not c[3 + 1]:
+            continue
+        f = frames.setdefault((c[0], c[3 + 1]), {"def": 0, "syn": 0, "xref": 0, "obs": False})
+        tag = c[3 + 4]
+        if tag == "def" and c[3 + 7] is not None:
+            f["def"] = 1
+        elif tag == "synonym":
+            f["syn"] += 1
+        elif tag == "xref" and c[3 + 5]:
+            f["xref"] += 1
+        elif tag == "is_obsolete" and c[3 + 5] == "true":
+            f["obs"] = True
+    n_nodes = len(frames)
+    n_defs = sum(f["def"] for f in frames.values())
+    n_syn = sum(f["syn"] for f in frames.values())
+    n_xref = sum(f["xref"] for f in frames.values())
+    n_dep = sum(1 for f in frames.values() if f["obs"])
+
+    purl = _re.compile(r"^http://purl\.obolibrary\.org/obo/([A-Za-z0-9]+)_([A-Za-z0-9]+)$")
+
+    def compact(x: str) -> str:
+        m = purl.match(x)
+        return f"{m.group(1)}:{m.group(2)}" if m else x
+
+    edges = oracle.build_edges(rows, canonicalize=False, apply_macros=False)
+    kept = {
+        (compact(s), compact(p) if p != "is_a" else p, compact(o), sha)
+        for s, p, o, _, sha in edges
+        if not p.startswith("intersection_of:")
+    }
+    n_edges = len(kept)
+    n_preds = len({p for _, p, _, _ in kept})
+    return _values_sql(
+        [(n_nodes, n_defs, n_syn, n_xref, n_dep, n_edges, n_preds, n_nodes, n_edges)],
+        [
+            "n_nodes", "n_defs", "n_synonyms", "n_xrefs", "n_deprecated",
+            "n_edges", "n_preds", "n_nodes_yaml", "n_edges_yaml",
+        ],
+    )
+
+
+def q_obo_pipeline_resume(spark: SparkSession, sf: str) -> DataFrame:
+    """O19: checkpointed-lineage resume as an oracle-checked behavior —
+    run the full pipeline on half the corpus (deterministic md5(path)
+    split), restart over the WHOLE corpus (manifest anti-join must keep
+    only the remainder), restart once more (no-op). Edge totals across
+    batches must equal a single-shot run — per-partition lineage loses
+    and duplicates nothing."""
+    import shutil
+    import tempfile
+
+    from fastobo_py_spark.plans.pipeline import read_manifest, run_pipeline
+
+    corpus = _corpus_df(spark)
+    out = tempfile.mkdtemp(prefix="kg_resume_q_")
+    try:
+        first = corpus.where(F.substring(F.md5(F.col("path")), 1, 1) < "8")
+        m1 = run_pipeline(spark, first, out)
+        m2 = run_pipeline(spark, corpus, out)
+        m3 = run_pipeline(spark, corpus, out)
+        manifest_docs = read_manifest(spark, out).select("doc_sha").distinct().count()
+        rows = [
+            ("batch1_docs", m1["docs_in_batch"]),
+            ("batch2_docs", m2["docs_in_batch"]),
+            ("batch3_docs", m3["docs_in_batch"]),
+            ("edges_total", m1["edges"] + m2["edges"] + m3["edges"]),
+            ("manifest_docs", manifest_docs),
+        ]
+        return spark.createDataFrame(rows, "metric string, value bigint").orderBy("metric")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def sql_obo_pipeline_resume() -> str:
+    import hashlib as _hl
+
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    rows = generate_corpus(**_CORPUS_KW)
+    n1 = sum(1 for r in rows if _hl.md5(r["path"].encode()).hexdigest()[0] < "8")
+    n2 = len(rows) - n1
+    edges_total = len(oracle.build_edges(rows, canonicalize=True))
+    manifest_docs = len({_hl.sha256(r["content"].encode()).hexdigest() for r in rows})
+    out = [
+        ("batch1_docs", n1),
+        ("batch2_docs", n2),
+        ("batch3_docs", 0),
+        ("edges_total", edges_total),
+        ("manifest_docs", manifest_docs),
+    ]
+    return _values_sql(sorted(out), ["metric", "value"])
+
+def q_obo_ancestors(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive is_a ancestor closure over the canonical KG — the
+    classic downstream ontology query (reference users walk the AST in
+    Python per doc; here it is a path-doubling DataFrame fixpoint). The
+    DuckDB oracle recomputes the closure INDEPENDENTLY with a recursive
+    CTE over the pure-Python oracle's edge list — a cross-engine check
+    of the closure algorithm itself."""
+    from fastobo_py_spark.operators.graph import transitive_ancestors
+    from fastobo_py_spark.operators.idents import edge_idspace
+    from fastobo_py_spark.plans.pipeline import canonical_edges
+
+    cl = _clauses(spark)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    caches: list = []
+    e = canonical_edges(cl.repartition(n, "doc_sha"), strategy="shuffle_hash", persisted_out=caches)
+    anc = transitive_ancestors(e)
+    out = (
+        anc.select(edge_idspace(F.col("id")).alias("idspace"), "id")
+        .groupBy("idspace")
+        .agg(F.count("*").alias("n_pairs"), F.countDistinct("id").alias("n_ids"))
+        .orderBy("idspace")
+    )
+    # the closure is checkpointed (materialized) inside transitive_ancestors,
+    # so the chain caches can release now
+    rows = out.collect()
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+def sql_obo_ancestors() -> str:
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    edges = oracle.build_edges(generate_corpus(**_CORPUS_KW), canonicalize=True)
+    base = sorted({(sha, s, o) for s, p, o, _, sha in edges if p == "is_a" and s != o})
+    rows = ",\n".join(
+        f"({_sql_quote(d)}, {_sql_quote(s)}, {_sql_quote(o)})" for d, s, o in base
+    )
+    return f"""
+WITH RECURSIVE base(doc_sha, id, anc) AS (VALUES
+{rows}
+),
+closure(doc_sha, id, anc) AS (
+  SELECT * FROM base
+  UNION
+  SELECT c.doc_sha, c.id, b.anc
+  FROM closure c JOIN base b ON b.doc_sha = c.doc_sha AND b.id = c.anc
+  WHERE c.id <> b.anc
+)
+SELECT CASE WHEN regexp_matches(id, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN 'URL'
+            WHEN contains(id, ':') THEN split_part(id, ':', 1)
+            ELSE 'UNPREFIXED' END AS idspace,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT id) AS BIGINT) AS n_ids
+FROM closure
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES.update({"obo_ancestors": q_obo_ancestors})
+_GENERATED_ORACLES.update({"obo_ancestors": sql_obo_ancestors})
+
+
+def q_obo_ancestors_seeded(spark: SparkSession, sf: str) -> DataFrame:
+    """Seed-set ancestor query with min-depth: "ancestors of THESE terms"
+    (the common interactive walk — reference users do exactly this over the
+    AST, docs/examples/graph.ipynb). Seeds = is_a subjects whose id ends in
+    '0' (a deterministic predicate both engines can evaluate). The DuckDB
+    oracle recomputes the seeded walk independently with a depth-carrying
+    recursive CTE and min(depth) — a cross-engine check of BFS min-depth
+    semantics, not just reachability."""
+    from fastobo_py_spark.operators.graph import ancestors_of
+    from fastobo_py_spark.plans.pipeline import canonical_edges
+
+    cl = _clauses(spark)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    caches: list = []
+    e = canonical_edges(cl.repartition(n, "doc_sha"), strategy="shuffle_hash", persisted_out=caches)
+    seeds = (
+        e.where(F.col("pred") == "is_a")
+        .select(F.col("subj").alias("id"))
+        .where(F.col("id").endswith("0"))
+        .dropDuplicates()
+    )
+    anc = ancestors_of(e, seeds).orderBy("doc_sha", "id", "ancestor")
+    rows = anc.collect()
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, anc.schema)
+
+
+def sql_obo_ancestors_seeded() -> str:
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    edges = oracle.build_edges(generate_corpus(**_CORPUS_KW), canonicalize=True)
+    base = sorted({(sha, s, o) for s, p, o, _, sha in edges if p == "is_a" and s != o})
+    rows = ",\n".join(
+        f"({_sql_quote(d)}, {_sql_quote(s)}, {_sql_quote(o)})" for d, s, o in base
+    )
+    return f"""
+WITH RECURSIVE base(doc_sha, child, parent) AS (VALUES
+{rows}
+),
+walk(doc_sha, id, anc, depth) AS (
+  SELECT doc_sha, child, parent, 1 FROM base WHERE child LIKE '%0'
+  UNION
+  SELECT w.doc_sha, w.id, b.parent, w.depth + 1
+  FROM walk w JOIN base b ON b.doc_sha = w.doc_sha AND b.child = w.anc
+  WHERE w.id <> b.parent AND w.depth < 25
+)
+SELECT doc_sha, id, anc AS ancestor, CAST(min(depth) AS BIGINT) AS min_depth
+FROM walk
+GROUP BY doc_sha, id, anc
+ORDER BY doc_sha, id, ancestor
+"""
+
+
+QUERIES.update({"obo_ancestors_seeded": q_obo_ancestors_seeded})
+_GENERATED_ORACLES.update({"obo_ancestors_seeded": sql_obo_ancestors_seeded})
+
+
+QUERIES.update(
+    {
+        "obo_graph_roundtrip": q_obo_graph_roundtrip,
+        "obo_pipeline_resume": q_obo_pipeline_resume,
+    }
+)
+_GENERATED_ORACLES.update(
+    {
+        "obo_graph_roundtrip": sql_obo_graph_roundtrip,
+        "obo_pipeline_resume": sql_obo_pipeline_resume,
+    }
+)

@@ -1,0 +1,171 @@
+"""Text-analysis queries: language ID, token counting, quality scoring
+over the documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fastobo_py_spark.queries._registry import (
+    GENERATED_ORACLES as _GENERATED_ORACLES,
+    QUERIES,
+    STATIC_SQLS,
+)
+from fastobo_py_spark.operators import text as X
+from fastobo_py_spark.sources.tables import load_table
+
+
+_EN = "'the','a','of','and','to','in','is','it','for','on'"
+_DE = "'der','die','das','und','ist','nicht','ein','mit'"
+_FR = "'le','la','les','et','est','un','une','dans'"
+_ES = "'el','la','los','y','es','un','una','que'"
+
+
+def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return X.text_stats(docs).orderBy("doc_id")
+
+
+SQL_TEXT_STATS = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ltoks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       length(text) AS n_chars_actual,
+       length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+       CAST(floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1) * 1000000) AS BIGINT) AS alpha_ppm,
+       CAST(floor((0.4 * least(len(toks) / 64.0, 1.0)
+           + 0.3 * least(len(list_filter(ltoks, x -> x IN ({_EN}))) / 4.0, 1.0)
+           + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                         / greatest(length(text), 1))) * 1000000) AS BIGINT) AS quality_ppm,
+       CASE
+         WHEN length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) > length(text) * 0.3 THEN 'zh'
+         WHEN greatest(len(list_filter(ltoks, x -> x IN ({_EN}))),
+                       len(list_filter(ltoks, x -> x IN ({_DE}))),
+                       len(list_filter(ltoks, x -> x IN ({_FR}))),
+                       len(list_filter(ltoks, x -> x IN ({_ES})))) = 0 THEN 'und'
+         WHEN len(list_filter(ltoks, x -> x IN ({_EN}))) =
+              greatest(len(list_filter(ltoks, x -> x IN ({_EN}))), len(list_filter(ltoks, x -> x IN ({_DE}))),
+                       len(list_filter(ltoks, x -> x IN ({_FR}))), len(list_filter(ltoks, x -> x IN ({_ES})))) THEN 'en'
+         WHEN len(list_filter(ltoks, x -> x IN ({_DE}))) =
+              greatest(len(list_filter(ltoks, x -> x IN ({_EN}))), len(list_filter(ltoks, x -> x IN ({_DE}))),
+                       len(list_filter(ltoks, x -> x IN ({_FR}))), len(list_filter(ltoks, x -> x IN ({_ES})))) THEN 'de'
+         WHEN len(list_filter(ltoks, x -> x IN ({_FR}))) =
+              greatest(len(list_filter(ltoks, x -> x IN ({_EN}))), len(list_filter(ltoks, x -> x IN ({_DE}))),
+                       len(list_filter(ltoks, x -> x IN ({_FR}))), len(list_filter(ltoks, x -> x IN ({_ES})))) THEN 'fr'
+         ELSE 'es'
+       END AS lang_guess,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+FROM base
+ORDER BY doc_id
+"""
+
+
+def q_text_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Token budgeting + internal-repetition profile: whitespace tokens,
+    BPE-ish pre-tokenizer tokens, and Gopher-style 3-gram repetition."""
+    docs = load_table(spark, sf, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.token_count(t).alias("n_ws_tokens"),
+        X.bpe_token_count(t).alias("n_bpe_tokens"),
+        X.ngram_repetition_ppm(t, 3).alias("rep3_ppm"),
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_TOKENS = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+         CASE WHEN trim(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') END AS ntoks
+  FROM documents
+), grams AS (
+  SELECT doc_id, text, toks,
+         CASE WHEN len(ntoks) >= 3
+              THEN list_transform(range(1, len(ntoks) - 1),
+                        i -> ntoks[i] || ' ' || ntoks[i+1] || ' ' || ntoks[i+2])
+              ELSE []::VARCHAR[] END AS g3
+  FROM base
+)
+SELECT doc_id,
+       len(toks) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe_tokens,
+       CASE WHEN len(g3) > 0
+            THEN CAST(floor((1.0 - len(list_distinct(g3))::DOUBLE / len(g3)) * 1000000) AS BIGINT)
+            ELSE 0 END AS rep3_ppm
+FROM grams
+ORDER BY doc_id
+"""
+
+
+def q_quality_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Aggregated quality profile per source — the corpus-curation view."""
+    docs = load_table(spark, sf, "documents")
+    stats = X.text_stats(docs)
+    joined = stats.join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.floor(F.avg("quality_ppm")).cast("long").alias("avg_quality_ppm"),
+            F.floor(F.avg("n_tokens") * 10000).cast("long").alias("avg_tokens_e4"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_QUALITY_BY_LANG = f"""
+WITH base AS (
+  SELECT doc_id, source, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ltoks
+  FROM documents
+), scored AS (
+  SELECT doc_id, source, len(toks) AS n_tokens,
+         CAST(floor((0.4 * least(len(toks) / 64.0, 1.0)
+             + 0.3 * least(len(list_filter(ltoks, x -> x IN ({_EN}))) / 4.0, 1.0)
+             + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                           / greatest(length(text), 1))) * 1000000) AS BIGINT) AS quality_ppm
+  FROM base
+)
+SELECT source, count(*) AS n_docs,
+       CAST(floor(avg(quality_ppm)) AS BIGINT) AS avg_quality_ppm,
+       CAST(floor(avg(n_tokens) * 10000) AS BIGINT) AS avg_tokens_e4
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+QUERIES.update(
+    {
+        "text_stats": q_text_stats,
+        "text_tokens": q_text_tokens,
+        "quality_by_source": q_quality_by_lang,
+    }
+)
+STATIC_SQLS.update(
+    {
+        "text_stats": SQL_TEXT_STATS,
+        "text_tokens": SQL_TEXT_TOKENS,
+        "quality_by_source": SQL_QUALITY_BY_LANG,
+    }
+)
