@@ -1,4 +1,5 @@
-"""Graph queries over the materialized KG: transitive ancestor closure.
+"""Graph queries over the materialized KG: full transitive ancestor
+closure, seeded ancestor BFS with min-depth, and subtree extraction.
 
 The reference hands users an AST and they walk ``is_a`` chains in Python
 (obonet/networkx style, one doc in memory); at corpus scale the closure
@@ -122,3 +123,23 @@ def ancestors_of(
         result = result.unionByName(new).localCheckpoint(eager=True)
         frontier = new
     return result
+
+
+def descendants_of(
+    edges: DataFrame,
+    seeds: DataFrame,
+    pred: str = "is_a",
+    max_depth: int = 25,
+) -> DataFrame:
+    """(doc_sha, id, descendant, min_depth) for the SEED ids — subtree
+    extraction ("everything under GO:0008150"), the downward twin of
+    :func:`ancestors_of`. Implemented as the ancestor BFS over the
+    reversed edge relation, so the frontier/seen-set/cycle guarantees and
+    the shortest-path min_depth semantics are literally the same code.
+    """
+    rev = edges.select(
+        "doc_sha", F.col("pred"), F.col("obj").alias("subj"), F.col("subj").alias("obj")
+    )
+    return ancestors_of(rev, seeds, pred=pred, max_depth=max_depth).withColumnRenamed(
+        "ancestor", "descendant"
+    )

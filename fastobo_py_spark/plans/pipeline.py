@@ -397,3 +397,104 @@ def run_pipeline(
     with open(os.path.join(metrics_dir, f"{batch_id}.json"), "w") as fh:
         json.dump(metrics, fh)
     return metrics
+
+
+# ---------------------------------------------------------------------------
+# Output-table small-file compaction (the DATA-file analogue of
+# compact_manifest; Iceberg's rewrite_data_files on plain parquet)
+# ---------------------------------------------------------------------------
+
+def _leaf_part_dirs(root: str) -> list[str]:
+    """Partition leaf dirs (contain parquet parts directly) under a
+    partitioned table root."""
+    out = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        if any(f.endswith(".parquet") for f in filenames):
+            out.append(dirpath)
+    return sorted(out)
+
+
+def _compact_tmp_root(out_dir: str) -> str:
+    return os.path.join(out_dir, "_compact_tmp")
+
+
+def recover_output_compactions(out_dir: str) -> int:
+    """Crash recovery for :func:`compact_outputs`: restore any leaf whose
+    swap was interrupted. Preference order — a fully-committed compacted
+    copy (has ``_SUCCESS``), else the displaced original (``*.old``).
+    Returns the number of leaves restored."""
+    tmp_root = _compact_tmp_root(out_dir)
+    if not os.path.isdir(tmp_root):
+        return 0
+    restored = 0
+    for name in sorted(os.listdir(tmp_root)):
+        if name.endswith(".old"):
+            continue
+        tmp = os.path.join(tmp_root, name)
+        leaf = os.path.join(out_dir, name.replace("%2F", os.sep))
+        if os.path.isdir(leaf):
+            continue  # swap completed; leftover tmp is cleaned below
+        src = tmp if os.path.exists(os.path.join(tmp, "_SUCCESS")) else tmp + ".old"
+        if os.path.isdir(src):
+            os.makedirs(os.path.dirname(leaf), exist_ok=True)
+            os.rename(src, leaf)
+            restored += 1
+    return restored
+
+
+def compact_outputs(
+    spark: SparkSession,
+    out_dir: str,
+    tables: tuple = ("nodes", "edges"),
+    max_parts: int = 32,
+    target_bytes: int = 128 << 20,
+) -> dict:
+    """Collapse fragmented partition leaves of the output tables.
+
+    Every ``run_pipeline`` batch appends part files into each (idspace)
+    / (idspace, salt) leaf it touches; after thousands of batches a hot
+    partition holds thousands of tiny files and every reader pays the
+    open-cost tax. This rewrites any leaf with more than ``max_parts``
+    parquet parts down to ceil(bytes / target_bytes) files (the 128 MB
+    default matches the scan split size, so compacted files map 1:1 to
+    read partitions).
+
+    Same crash-safety contract as :func:`compact_manifest`, adapted to a
+    partitioned tree: the rewrite commits (``_SUCCESS``) OUTSIDE the
+    table root (``_compact_tmp`` — partition discovery never sees
+    half-written data), then two renames swap it in; an interrupted swap
+    is healed by :func:`recover_output_compactions`, which this function
+    runs first. Maintenance op by design — run it out-of-band like
+    Iceberg's rewrite_data_files, not inside the ingest commit path.
+    """
+    import shutil
+
+    recover_output_compactions(out_dir)
+    tmp_root = _compact_tmp_root(out_dir)
+    stats = {"leaves_seen": 0, "leaves_compacted": 0, "parts_before": 0, "parts_after": 0}
+    for t in tables:
+        root = os.path.join(out_dir, t)
+        if not os.path.isdir(root):
+            continue
+        for leaf in _leaf_part_dirs(root):
+            parts = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+            stats["leaves_seen"] += 1
+            if len(parts) <= max_parts:
+                continue
+            n_bytes = sum(os.path.getsize(os.path.join(leaf, f)) for f in parts)
+            n_out = max(1, (n_bytes + target_bytes - 1) // target_bytes)
+            rel = os.path.relpath(leaf, out_dir)
+            enc = rel.replace(os.sep, "%2F")
+            tmp = os.path.join(tmp_root, enc)
+            shutil.rmtree(tmp, ignore_errors=True)
+            spark.read.parquet(leaf).repartition(n_out).write.mode("overwrite").parquet(tmp)
+            old = tmp + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(leaf, old)
+            os.rename(tmp, leaf)
+            shutil.rmtree(old, ignore_errors=True)
+            stats["leaves_compacted"] += 1
+            stats["parts_before"] += len(parts)
+            stats["parts_after"] += int(n_out)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    return stats

@@ -296,3 +296,60 @@ _GENERATED_ORACLES.update(
         "obo_pipeline_resume": sql_obo_pipeline_resume,
     }
 )
+
+
+def q_obo_descendants_seeded(spark: SparkSession, sf: str) -> DataFrame:
+    """Subtree extraction with min-depth: "everything under THESE terms"
+    — the downward twin of obo_ancestors_seeded (same BFS over the
+    reversed relation). Seeds = is_a parents whose id ends in '0'; the
+    DuckDB oracle walks downward independently with a depth-carrying
+    recursive CTE + min(depth)."""
+    from fastobo_py_spark.operators.graph import descendants_of
+    from fastobo_py_spark.plans.pipeline import canonical_edges
+
+    cl = _clauses(spark)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    caches: list = []
+    e = canonical_edges(cl.repartition(n, "doc_sha"), strategy="shuffle_hash", persisted_out=caches)
+    seeds = (
+        e.where(F.col("pred") == "is_a")
+        .select(F.col("obj").alias("id"))
+        .where(F.col("id").endswith("0"))
+        .dropDuplicates()
+    )
+    desc = descendants_of(e, seeds).orderBy("doc_sha", "id", "descendant")
+    rows = desc.collect()
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, desc.schema)
+
+
+def sql_obo_descendants_seeded() -> str:
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    edges = oracle.build_edges(generate_corpus(**_CORPUS_KW), canonicalize=True)
+    base = sorted({(sha, s, o) for s, p, o, _, sha in edges if p == "is_a" and s != o})
+    rows = ",\n".join(
+        f"({_sql_quote(d)}, {_sql_quote(s)}, {_sql_quote(o)})" for d, s, o in base
+    )
+    return f"""
+WITH RECURSIVE base(doc_sha, child, parent) AS (VALUES
+{rows}
+),
+walk(doc_sha, id, descendant, depth) AS (
+  SELECT doc_sha, parent, child, 1 FROM base WHERE parent LIKE '%0'
+  UNION
+  SELECT w.doc_sha, w.id, b.child, w.depth + 1
+  FROM walk w JOIN base b ON b.doc_sha = w.doc_sha AND b.parent = w.descendant
+  WHERE w.id <> b.child AND w.depth < 25
+)
+SELECT doc_sha, id, descendant, CAST(min(depth) AS BIGINT) AS min_depth
+FROM walk
+GROUP BY doc_sha, id, descendant
+ORDER BY doc_sha, id, descendant
+"""
+
+
+QUERIES.update({"obo_descendants_seeded": q_obo_descendants_seeded})
+_GENERATED_ORACLES.update({"obo_descendants_seeded": sql_obo_descendants_seeded})

@@ -39,10 +39,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-resume", action="store_true", help="ignore the manifest and reprocess everything")
     ap.add_argument("--no-canonicalize", action="store_true")
     ap.add_argument("--salts", type=int, default=16, help="hub-salt fanout for edge writes")
+    ap.add_argument(
+        "--compact-outputs",
+        action="store_true",
+        help="after the batch, rewrite fragmented (idspace, salt) output "
+        "leaves (crash-safe; Iceberg rewrite_data_files analogue)",
+    )
+    ap.add_argument("--compact-max-parts", type=int, default=32,
+                    help="rewrite a leaf once it holds more parquet parts than this")
     ap.add_argument("--master", default=None, help="override master (defaults to local[$SPARK_GRAFT_CPUS])")
     args = ap.parse_args(argv)
 
-    from fastobo_py_spark.plans.pipeline import run_pipeline
+    from fastobo_py_spark.plans.pipeline import compact_outputs, run_pipeline
     from fastobo_py_spark.session import get_spark
 
     spark = get_spark(app_name="fastobo-build-kg", master=args.master)
@@ -64,6 +72,10 @@ def main(argv: list[str] | None = None) -> int:
             n_salts=args.salts,
             canonicalize=not args.no_canonicalize,
         )
+        if args.compact_outputs:
+            metrics["output_compaction"] = compact_outputs(
+                spark, args.out, max_parts=args.compact_max_parts
+            )
         print(json.dumps(metrics))
         return 0
     finally:

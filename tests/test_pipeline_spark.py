@@ -563,3 +563,110 @@ def test_manifest_compaction_crash_window_adoption(spark, corpus):
         assert m2["docs_in_batch"] == 0 and m1["docs_in_batch"] == 203
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_descendants_of_is_reverse_bfs(spark):
+    """Subtree extraction mirrors the seeded ancestor BFS over reversed
+    edges: depths measured downward, doc scoping and seed filtering hold."""
+    from fastobo_py_spark.operators.graph import ancestors_of, descendants_of
+
+    d1 = "A" * 64
+    rows = [(d1, a, "is_a", b) for a, b in
+            [("a", "b"), ("b", "c"), ("c", "d"), ("x", "c")]]
+    e = spark.createDataFrame(rows, "doc_sha string, subj string, pred string, obj string")
+    seeds = spark.createDataFrame([("c",)], "id string")
+    got = {
+        (r["id"], r["descendant"]): r["min_depth"]
+        for r in descendants_of(e, seeds).collect()
+    }
+    assert got == {("c", "b"): 1, ("c", "x"): 1, ("c", "a"): 2}
+    # duality: descendants(seed) pairs == ancestors-of-everything pairs
+    # that END at the seed, with the same depths
+    all_ids = e.select(F.col("subj").alias("id")).dropDuplicates()
+    anc = {
+        (r["ancestor"], r["id"]): r["min_depth"]
+        for r in ancestors_of(e, all_ids).collect()
+        if r["ancestor"] == "c"
+    }
+    assert anc == got
+
+
+def test_output_compaction_preserves_table(spark, corpus):
+    """compact_outputs: fragment the partitioned outputs via two batch
+    appends, force a full compaction, and assert identical row content,
+    intact partition discovery, and fewer files."""
+    from fastobo_py_spark.plans.pipeline import _leaf_part_dirs, compact_outputs, run_pipeline
+
+    out = tempfile.mkdtemp(prefix="kg_outcompact_")
+    try:
+        half = corpus.where(F.crc32(F.col("path")) % 2 == 0)
+        run_pipeline(spark, half, out, canonicalize=False)
+        run_pipeline(spark, corpus, out, canonicalize=False)
+
+        def census(tbl):
+            df = spark.read.parquet(f"{out}/{tbl}")
+            return df.count(), set(df.columns)
+
+        def n_parts(tbl):
+            import os as _os
+            return sum(
+                sum(1 for f in _os.listdir(d) if f.endswith(".parquet"))
+                for d in _leaf_part_dirs(f"{out}/{tbl}")
+            )
+
+        before = {t: census(t) for t in ("nodes", "edges")}
+        parts_before = {t: n_parts(t) for t in ("nodes", "edges")}
+        st = compact_outputs(spark, out, max_parts=0, target_bytes=1 << 30)
+        assert st["leaves_compacted"] > 0
+        for t in ("nodes", "edges"):
+            assert census(t) == before[t]
+            assert n_parts(t) < parts_before[t]
+        # edges keep the (idspace, salt) partition layout after the swap
+        assert {"idspace", "salt"} <= census("edges")[1]
+        # idempotent: a second pass finds nothing above threshold
+        st2 = compact_outputs(spark, out, max_parts=1, target_bytes=1 << 30)
+        assert st2["leaves_compacted"] == 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_output_compaction_crash_recovery(spark, corpus):
+    """An interrupted swap (leaf renamed away, committed compact copy in
+    _compact_tmp) is healed by recover_output_compactions with no row
+    loss — both from the committed copy and from the displaced original."""
+    import os
+
+    from fastobo_py_spark.plans.pipeline import (
+        _compact_tmp_root,
+        _leaf_part_dirs,
+        compact_outputs,
+        recover_output_compactions,
+    )
+    from fastobo_py_spark.plans.pipeline import run_pipeline
+
+    out = tempfile.mkdtemp(prefix="kg_outcrash_")
+    try:
+        run_pipeline(spark, corpus, out, canonicalize=False)
+        n0 = spark.read.parquet(f"{out}/nodes").count()
+        leaf = _leaf_part_dirs(f"{out}/nodes")[0]
+        rel = os.path.relpath(leaf, out).replace(os.sep, "%2F")
+        tmp_root = _compact_tmp_root(out)
+        os.makedirs(tmp_root, exist_ok=True)
+
+        # case 1: committed compacted copy exists, leaf missing → adopt copy
+        spark.read.parquet(leaf).repartition(1).write.parquet(os.path.join(tmp_root, rel))
+        import shutil as _sh
+        _sh.rmtree(leaf)
+        assert recover_output_compactions(out) == 1
+        assert spark.read.parquet(f"{out}/nodes").count() == n0
+
+        # case 2: copy NOT committed (no _SUCCESS), original displaced → restore original
+        os.rename(leaf, os.path.join(tmp_root, rel + ".old"))
+        os.makedirs(os.path.join(tmp_root, rel), exist_ok=True)  # uncommitted stub
+        assert recover_output_compactions(out) == 1
+        assert spark.read.parquet(f"{out}/nodes").count() == n0
+        # a full compact_outputs pass runs recovery first and stays green
+        compact_outputs(spark, out, max_parts=10_000)
+        assert spark.read.parquet(f"{out}/nodes").count() == n0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
