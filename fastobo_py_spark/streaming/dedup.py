@@ -64,17 +64,57 @@ def _first_seen_fn(
     yield pd.DataFrame([{"fp": key[0], "keep_id": keep, "n_in_batch": n}])
 
 
-def stream_exact_dedup(docs: DataFrame) -> DataFrame:
+def _with_ttl(fn, ttl_ms: int | None):
+    """Wrap a stateful kernel with a SLIDING processing-time TTL.
+
+    ``None`` → the kernel runs exactly as written under ``NoTimeout``
+    (state lives forever — exactly-once-per-content over the full
+    history). With a TTL, every group refreshes its expiry whenever it
+    is touched and is dropped after ``ttl_ms`` of silence; content that
+    re-arrives later is treated as new (re-emitted / re-paired). That is
+    the standard bounded-state trade for infinite streams — align the
+    TTL with the upstream retention window (e.g. the batch manifest's
+    horizon) so "forgotten" keys are ones the pipeline no longer needs
+    exact-once behavior for. State size then follows the ACTIVE key set,
+    not everything ever seen.
+
+    Pair a TTL with a RUNNING trigger (processingTime/continuous): an
+    ``availableNow`` drain never terminates under processing-time
+    timeouts (Spark keeps scheduling no-data cleanup batches), and a
+    backfill drain is exactly the case where forgetting is wrong anyway.
+    """
+    if ttl_ms is None:
+        return fn
+
+    def wrapped(key, batches, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        yield from fn(key, batches, state)
+        if state.exists:
+            state.setTimeoutDuration(ttl_ms)
+
+    return wrapped
+
+
+def _timeout_conf(ttl_ms: int | None):
+    return (
+        GroupStateTimeout.NoTimeout if ttl_ms is None else GroupStateTimeout.ProcessingTimeTimeout
+    )
+
+
+def stream_exact_dedup(docs: DataFrame, state_ttl_ms: int | None = None) -> DataFrame:
     """Streaming (doc_id, text) rows → one (fp, keep_id, n_in_batch) row
     per distinct content, emitted in the micro-batch where the content
-    first arrives. Append output mode; state lives in the checkpoint."""
+    first arrives. Append output mode; state lives in the checkpoint.
+    ``state_ttl_ms`` bounds state to the active key set (see _with_ttl)."""
     keyed = docs.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
     return keyed.groupBy("fp").applyInPandasWithState(
-        _first_seen_fn,
+        _with_ttl(_first_seen_fn, state_ttl_ms),
         outputStructType=DEDUP_OUTPUT,
         stateStructType=DEDUP_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=_timeout_conf(state_ttl_ms),
     )
 
 
@@ -174,7 +214,7 @@ def _bucket_pairs_fn(
         yield pd.DataFrame(out, columns=["band_ix", "doc_a", "doc_b", "est_jaccard"])
 
 
-def stream_minhash_pairs(docs: DataFrame) -> DataFrame:
+def stream_minhash_pairs(docs: DataFrame, state_ttl_ms: int | None = None) -> DataFrame:
     """Streaming near-duplicate candidate pairs: MinHash+LSH over an
     unbounded (doc_id, text) stream.
 
@@ -196,11 +236,11 @@ def stream_minhash_pairs(docs: DataFrame) -> DataFrame:
         "band_ix int, band_hash string, doc_id long, sig array<long>",
     )
     return sigs.groupBy("band_ix", "band_hash").applyInPandasWithState(
-        _bucket_pairs_fn,
+        _with_ttl(_bucket_pairs_fn, state_ttl_ms),
         outputStructType=PAIRS_OUTPUT,
         stateStructType=BUCKET_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=_timeout_conf(state_ttl_ms),
     )
 
 
@@ -304,6 +344,7 @@ def stream_embedding_near_dup(
     n_tables: int = 4,
     n_planes: int = 4,
     seed: int = 7,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming embedding near-duplicate pairs: AND-OR hyperplane LSH
     over an unbounded (vec_id, embedding) stream — the streaming dual of
@@ -321,9 +362,9 @@ def stream_embedding_near_dup(
         "vec_id long, t int, bucket string, v array<double>",
     )
     return sigs.groupBy("t", "bucket").applyInPandasWithState(
-        _emb_bucket_pairs_fn(threshold),
+        _with_ttl(_emb_bucket_pairs_fn(threshold), state_ttl_ms),
         outputStructType=EMB_PAIRS_OUTPUT,
         stateStructType=EMB_BUCKET_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=_timeout_conf(state_ttl_ms),
     )

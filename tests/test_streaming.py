@@ -4,6 +4,7 @@ a second run a no-op (streaming resumability)."""
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -282,4 +283,70 @@ def test_stream_embedding_near_dup_matches_batch(spark):
         }
         assert got == want and got
     finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_exact_dedup_state_ttl(spark):
+    """TTL-bounded state on a CONTINUOUSLY-triggered stream: content that
+    re-arrives after the TTL re-emits (its state was dropped by the
+    processing-time timeout), while the no-TTL path keeps suppressing
+    forever (test_stream_exact_dedup_cross_batch). availableNow drains
+    deliberately aren't used here — processing-time timeouts keep a
+    drain's no-data cleanup batches alive, so TTL pairs with a running
+    trigger (the production shape for an infinite stream)."""
+    import time as _time
+
+    from fastobo_py_spark.streaming.dedup import stream_exact_dedup
+
+    base = tempfile.mkdtemp(prefix="stream_ttl_")
+    q = None
+    try:
+        src = f"{base}/docs"
+        os.makedirs(src)
+        schema = "doc_id long, text string"
+
+        def feed(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+        def out_rows():
+            try:
+                return spark.read.parquet(f"{base}/out").collect()
+            except Exception:
+                return []
+
+        def wait_rows(n, timeout=60):
+            t0 = _time.time()
+            while _time.time() - t0 < timeout:
+                rows = out_rows()
+                if len(rows) >= n:
+                    return rows
+                _time.sleep(0.5)
+            raise AssertionError(f"timed out waiting for {n} rows; have {out_rows()}")
+
+        feed([(1, "alpha doc"), (2, "alpha doc")])
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_exact_dedup(stream, state_ttl_ms=1500)
+            .writeStream.format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .outputMode("append")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        rows = wait_rows(1)
+        assert [(r["keep_id"], r["n_in_batch"]) for r in rows] == [(1, 2)]
+
+        _time.sleep(4)  # > TTL: alpha's state expires and a cleanup batch drops it
+        feed([(4, "alpha doc")])  # forgotten content -> re-emitted
+        rows = wait_rows(2)
+        assert sorted(r["keep_id"] for r in rows) == [1, 4]
+        fps = {r["fp"] for r in rows}
+        assert len(fps) == 1  # same content both times: state was truly dropped
+    finally:
+        if q is not None:
+            try:
+                q.stop()
+            except Exception:
+                pass
         shutil.rmtree(base, ignore_errors=True)
