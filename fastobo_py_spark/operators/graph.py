@@ -102,7 +102,20 @@ def ancestors_of(
     bhop = base.select(
         F.col("doc_sha").alias("__bd"), F.col("child").alias("__bc"), F.col("parent").alias("__bp")
     )
+    # one checkpointed frame per depth; the seen-set for the anti-join is
+    # their LAZY union — checkpointing the accumulated union each round
+    # would re-materialize every earlier depth's rows per iteration
+    # (O(depth × |closure|) copy work for nothing: the frames are already
+    # materialized)
+    frames = [result]
     frontier = result
+
+    def _seen() -> DataFrame:
+        out = frames[0].select("doc_sha", "id", "ancestor")
+        for f in frames[1:]:
+            out = out.unionByName(f.select("doc_sha", "id", "ancestor"))
+        return out
+
     for depth in range(2, max_depth + 1):
         hop = (
             frontier.select(
@@ -114,15 +127,18 @@ def ancestors_of(
             .dropDuplicates()
         )
         new = (
-            hop.join(result.select("doc_sha", "id", "ancestor"), ["doc_sha", "id", "ancestor"], "left_anti")
+            hop.join(_seen(), ["doc_sha", "id", "ancestor"], "left_anti")
             .withColumn("min_depth", F.lit(depth).cast("long"))
             .localCheckpoint(eager=True)
         )
         if new.limit(1).count() == 0:
             break
-        result = result.unionByName(new).localCheckpoint(eager=True)
+        frames.append(new)
         frontier = new
-    return result
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def descendants_of(

@@ -137,9 +137,14 @@ def _fake_decode_features(payload: bytes, dim: int = 16, strict: bool | None = N
 def _png_image_features(payload: bytes, dim: int) -> list[float]:
     """REAL decode without Pillow: the vendored pure-stdlib PNG codec
     (operators/png_codec.py) → integer luma → nearest-neighbor dim×dim →
-    column means. Same grayscale weights and feature definition as the
-    Pillow branch, so swapping codecs swaps implementations, not
-    semantics. Raises ValueError for non-PNG / unsupported payloads."""
+    column means. Same FEATURE DEFINITION as the Pillow branch (luma
+    grid, per-column means) and the same ITU-R 601 weights, but NOT
+    bit-identical to it: Pillow resamples bicubic by default and rounds
+    luma differently, so the two branches are alternatives, not twins —
+    which is why the `multimodal_real_decode` oracle pins THIS codec
+    explicitly (extract_features(codec="png")) instead of letting the
+    environment pick. Raises ValueError for non-PNG / unsupported
+    payloads."""
     from fastobo_py_spark.operators.png_codec import (
         column_mean_features,
         decode_png,
@@ -151,27 +156,41 @@ def _png_image_features(payload: bytes, dim: int) -> list[float]:
     return column_mean_features(resize_nearest(to_gray(w, h, ch, pix), w, h, dim), dim)
 
 
-def _decode_features(payload: bytes, kind: str, dim: int, strict: bool | None) -> list[float]:
+def _decode_features(
+    payload: bytes, kind: str, dim: int, strict: bool | None, codec: str = "auto"
+) -> list[float]:
     """Codec dispatch: Pillow when importable, else the vendored pure-
     stdlib PNG decoder for decodable PNG payloads, else the strict/fake
     policy above. Keeps strict mode honest — a non-decodable payload with
-    no codec installed still raises by default."""
+    no codec installed still raises by default. ``codec="png"`` pins the
+    vendored decoder (deterministic across environments — the oracle
+    path); ``"auto"`` prefers Pillow, whose resampling differs."""
     if kind == "image":
-        try:
-            return _pil_image_features(payload, dim)
-        except ImportError:
-            # Pillow absent (this sandbox) — try the vendored PNG path
+        if codec == "png":
             try:
                 return _png_image_features(payload, dim)
             except Exception:
                 pass  # not a (supported) PNG — fall through to policy
-        except Exception:
-            pass  # undecodable payload (synthetic bytes) — same fallthrough
+        else:
+            try:
+                return _pil_image_features(payload, dim)
+            except ImportError:
+                # Pillow absent (this sandbox) — try the vendored PNG path
+                try:
+                    return _png_image_features(payload, dim)
+                except Exception:
+                    pass  # not a (supported) PNG — fall through to policy
+            except Exception:
+                pass  # undecodable payload (synthetic bytes) — same fallthrough
     return _fake_decode_features(payload, dim, strict)
 
 
 def extract_features(
-    media: DataFrame, dim: int = 16, strict: bool | None = None, with_features: bool = True
+    media: DataFrame,
+    dim: int = 16,
+    strict: bool | None = None,
+    with_features: bool = True,
+    codec: str = "auto",
 ) -> DataFrame:
     """mapInPandas feature extraction: one Arrow batch of payloads in,
     one batch of fixed-dim vectors out. Only (media_id, kind, payload)
@@ -194,7 +213,7 @@ def extract_features(
                 "n_bytes": pdf["payload"].map(len).astype("int32"),
                 "features": (
                     [
-                        _decode_features(bytes(b), k, dim, strict)
+                        _decode_features(bytes(b), k, dim, strict, codec)
                         for b, k in zip(pdf["payload"], pdf["kind"])
                     ]
                     if with_features

@@ -47,18 +47,28 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
         data = payload[pos + 8 : pos + 8 + length]
         pos += 12 + length  # len + type + data + crc
         if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
+            try:
+                ihdr = struct.unpack(">IIBBBBB", data)
+            except struct.error as e:  # truncated mid-IHDR
+                raise ValueError(f"truncated IHDR: {e}") from e
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
             break
     if ihdr is None:
         raise ValueError("missing IHDR")
-    w, h, depth, color, _comp, _filt, interlace = ihdr
+    w, h, depth, color, comp, filt, interlace = ihdr
     if depth != 8 or interlace != 0 or color not in _CHANNELS:
         raise ValueError(f"unsupported PNG (depth={depth} color={color} interlace={interlace})")
+    if comp != 0 or filt != 0:
+        # only deflate/adaptive-filtering exist in the spec; anything else
+        # would inflate to garbage rather than pixels — reject, don't guess
+        raise ValueError(f"unsupported PNG (compression={comp} filter_method={filt})")
     ch = _CHANNELS[color]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # truncated/corrupt IDAT
+        raise ValueError(f"corrupt IDAT: {e}") from e
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT length mismatch")

@@ -42,6 +42,33 @@ def _dot_hof(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _fold_rows(cols: list, combine, finish) -> pd.Series:
+    """Batch driver for the sequential-fold kernels with exact HOF edge
+    semantics: any null operand → null, empty arrays → fold of nothing
+    (0.0 before ``finish``), equal-length non-empty batch → one
+    vectorized ``np.add.accumulate`` pass (a strict left-to-right fold),
+    ragged batch → per-row accumulate (same fold, row at a time)."""
+    lens = {len(x) for col in cols for x in col if x is not None}
+    uniform = len(lens) == 1 and 0 not in lens and not any(
+        x is None for col in cols for x in col
+    )
+    if uniform:
+        mats = [np.stack([np.asarray(x, dtype="float64") for x in col]) for col in cols]
+        return pd.Series(finish(np.add.accumulate(combine(*mats), axis=1)[:, -1]))
+    out = []
+    for row in zip(*cols):
+        if any(x is None for x in row) or len({len(x) for x in row}) > 1:
+            # null operand, or zip_with length mismatch (null padding
+            # poisons the HOF fold to null) → null, matching the spec
+            out.append(None)
+            continue
+        arrs = [np.asarray(x, dtype="float64") for x in row]
+        prod = combine(*arrs)
+        acc = np.add.accumulate(prod)[-1] if len(prod) else 0.0
+        out.append(float(finish(np.asarray([acc]))[0]))
+    return pd.Series(out, dtype="float64")
+
+
 @pandas_udf(DoubleType())
 def norm_udf(v: pd.Series) -> pd.Series:
     """Arrow-batched ‖v‖ with SEQUENTIAL summation semantics:
@@ -53,11 +80,11 @@ def norm_udf(v: pd.Series) -> pd.Series:
     the JVM-side fold until ≈dim 1024 (measurements on :func:`_norm_hof`)
     — call sites default to the HOF and switch here for fat embeddings.
     numpy's pairwise ``np.sum``/BLAS ``dot`` would round differently and
-    are deliberately NOT used."""
+    are deliberately NOT used. HOF edge parity: null → null, empty →
+    0.0, ragged batches fall back to the same fold row-wise."""
     if len(v) == 0:
         return pd.Series([], dtype="float64")
-    a = np.stack([np.asarray(x, dtype="float64") for x in v])
-    return pd.Series(np.sqrt(np.add.accumulate(a * a, axis=1)[:, -1]))
+    return _fold_rows([v], lambda a: a * a, np.sqrt)
 
 
 @pandas_udf(DoubleType())
@@ -65,9 +92,7 @@ def dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-batched a·b, sequential-fold parity (see :func:`norm_udf`)."""
     if len(a) == 0:
         return pd.Series([], dtype="float64")
-    ma = np.stack([np.asarray(x, dtype="float64") for x in a])
-    mb = np.stack([np.asarray(x, dtype="float64") for x in b])
-    return pd.Series(np.add.accumulate(ma * mb, axis=1)[:, -1])
+    return _fold_rows([a, b], lambda x, y: x * y, lambda z: z)
 
 
 # default cosine impl: the JVM-side fold (faster below ≈dim 1024 and

@@ -156,20 +156,42 @@ def _adopt_orphan_compaction(out_dir: str) -> bool:
     """Crash recovery for :func:`compact_manifest`'s two-rename swap: if
     the primary manifest dir is missing but a fully-committed
     ``_manifest.compact-*`` dir (its ``_SUCCESS`` marker present) exists,
-    adopt the newest one. Returns True if a rename happened."""
+    adopt the NEWEST one by commit mtime — ids are random hex, so name
+    order says nothing about recency, and adopting a stale dir leaked by
+    an earlier pre-swap crash would silently roll the manifest back.
+    (Belt-and-braces: :func:`compact_manifest` also deletes stale
+    compact/old dirs up front, so normally at most one candidate exists.)
+    Returns True if a rename happened."""
     import glob
 
     p = _manifest_path(out_dir)
     if os.path.isdir(p):
         return False
     candidates = [
-        d for d in sorted(glob.glob(p + ".compact-*"))
+        d for d in glob.glob(p + ".compact-*")
         if os.path.exists(os.path.join(d, "_SUCCESS"))
     ]
     if not candidates:
         return False
-    os.rename(candidates[-1], p)
+    newest = max(candidates, key=lambda d: os.path.getmtime(os.path.join(d, "_SUCCESS")))
+    os.rename(newest, p)
     return True
+
+
+def _sweep_stale_compaction_dirs(out_dir: str) -> None:
+    """Delete leftover ``_manifest.compact-*`` / ``_manifest.old-*`` dirs
+    while the primary manifest exists — garbage from crashes before (or
+    after) the swap. Without this sweep a committed-but-never-swapped
+    copy would linger and could shadow a LATER crash's adoption."""
+    import glob
+    import shutil
+
+    if not os.path.isdir(_manifest_path(out_dir)):
+        return  # primary missing: candidates are recovery state, keep them
+    for d in glob.glob(_manifest_path(out_dir) + ".compact-*") + glob.glob(
+        _manifest_path(out_dir) + ".old-*"
+    ):
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
@@ -189,9 +211,10 @@ def _manifest_part_count(out_dir: str) -> int:
         return 0
 
 
-# rewrite once fragmentation passes this; one parquet part per ~5M keys
+# rewrite once fragmentation passes this; target ~128 MB compacted parts
+# (matches the scan split size, like compact_outputs)
 MANIFEST_COMPACT_MAX_PARTS = 128
-_MANIFEST_ROWS_PER_PART = 5_000_000
+_MANIFEST_TARGET_BYTES = 128 << 20
 
 
 def compact_manifest(
@@ -223,6 +246,8 @@ def compact_manifest(
     """
     import shutil
 
+    _adopt_orphan_compaction(out_dir)
+    _sweep_stale_compaction_dirs(out_dir)
     n = _manifest_part_count(out_dir)
     if n <= max_parts:
         return {"compacted": False, "parts_before": n}
@@ -236,8 +261,13 @@ def compact_manifest(
             F.min("completed_at").alias("completed_at"),
         )
     )
-    rows = m.count()
-    parts = target_parts or max(1, (rows + _MANIFEST_ROWS_PER_PART - 1) // _MANIFEST_ROWS_PER_PART)
+    # size target from on-disk bytes — no extra count() job: the
+    # aggregation is the expensive part on the restart hot path and must
+    # run exactly once (the write below)
+    n_bytes = sum(
+        os.path.getsize(os.path.join(p, f)) for f in os.listdir(p) if f.endswith(".parquet")
+    )
+    parts = target_parts or max(1, (n_bytes + _MANIFEST_TARGET_BYTES - 1) // _MANIFEST_TARGET_BYTES)
     cid = uuid.uuid4().hex[:8]
     tmp = p + f".compact-{cid}"
     # sorted by the key: row-group min/max stats make future doc_sha
@@ -249,7 +279,7 @@ def compact_manifest(
     os.rename(p, old)
     os.rename(tmp, p)
     shutil.rmtree(old, ignore_errors=True)
-    return {"compacted": True, "parts_before": n, "parts_after": parts, "rows": rows}
+    return {"compacted": True, "parts_before": n, "parts_after": int(parts), "bytes": n_bytes}
 
 
 def _with_doc_sha(corpus: DataFrame) -> DataFrame:
@@ -319,6 +349,12 @@ def run_pipeline(
     """
     t0 = time.time()
     batch_id = uuid.uuid4().hex[:12]
+
+    # self-heal interrupted maintenance before anything reads the tables:
+    # an output-compaction swap killed between its two renames would
+    # otherwise leave a partition leaf invisible to this batch's readers
+    # (the manifest path self-heals inside read_manifest already)
+    recover_output_compactions(out_dir)
 
     src = pending_corpus(spark, corpus, out_dir) if resume else _with_doc_sha(corpus)
     keep = ["repo", "path", "commit", "lang", "content", "doc_sha", "payload_sha"] + (

@@ -4,8 +4,6 @@ corpus, the per-session memoized clause cache, and SQL literal helpers."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 

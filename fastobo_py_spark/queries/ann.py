@@ -4,20 +4,11 @@ baseline), hyperplane-LSH buckets, and IVF cell probing."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from fastobo_py_spark.queries._registry import (
     GENERATED_ORACLES as _GENERATED_ORACLES,
     QUERIES,
     STATIC_SQLS,
-)
-from fastobo_py_spark.queries._shared import (
-    _CORPUS_KW,
-    _clauses,
-    _corpus_df,
-    _sql_quote,
-    _values_sql,
 )
 from fastobo_py_spark.operators import similarity as S
 from fastobo_py_spark.sources.tables import load_table

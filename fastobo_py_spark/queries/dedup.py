@@ -5,7 +5,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from fastobo_py_spark.queries._registry import (
     GENERATED_ORACLES as _GENERATED_ORACLES,
@@ -13,9 +12,8 @@ from fastobo_py_spark.queries._registry import (
     STATIC_SQLS,
 )
 from fastobo_py_spark.operators import dedup as D
-from fastobo_py_spark.operators import similarity as S
 from fastobo_py_spark.operators import text as X
-from fastobo_py_spark.queries.text import _DE, _EN, _ES, _FR
+from fastobo_py_spark.queries.text import _EN
 from fastobo_py_spark.sources.tables import load_table
 
 

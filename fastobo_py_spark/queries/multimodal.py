@@ -5,20 +5,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from fastobo_py_spark.queries._registry import (
     GENERATED_ORACLES as _GENERATED_ORACLES,
     QUERIES,
-    STATIC_SQLS,
 )
-from fastobo_py_spark.queries._shared import (
-    _CORPUS_KW,
-    _clauses,
-    _corpus_df,
-    _sql_quote,
-    _values_sql,
-)
+from fastobo_py_spark.queries._shared import _values_sql
 
 
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
@@ -84,7 +76,9 @@ def q_multimodal_real_decode(spark: SparkSession, sf: str) -> DataFrame:
     """REAL image decode end-to-end, no Pillow required: valid PNGs (all
     four color types, every scanline filter cycled by the encoder) flow
     through the strict-mode Arrow kernel — features exist only if the
-    vendored decoder recovered the exact pixel plane. Integer column sums
+    vendored decoder recovered the exact pixel plane (codec="png" pins
+    it even where Pillow exists — PIL resamples bicubic, a different
+    feature vector by design). Integer column sums
     are read back out of the float32 feature vector (sum ≤ 2040 « 2^24,
     so round() is exact) and checked against an oracle that re-derives
     luma/resize/sums straight from the pixel pattern, never touching the
@@ -92,7 +86,7 @@ def q_multimodal_real_decode(spark: SparkSession, sf: str) -> DataFrame:
     from fastobo_py_spark.operators.multimodal import extract_features, synth_png_media
 
     media = synth_png_media(spark, n=12)
-    feats = extract_features(media, dim=_PNG_DIM)  # strict default: real decode or die
+    feats = extract_features(media, dim=_PNG_DIM, codec="png")  # strict + pinned vendored codec
     scale = F.lit(float(_PNG_DIM * 255))
     colsum = lambda k: F.round(F.element_at("features", k).cast("double") * scale).cast("bigint")
     return (

@@ -7,11 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from fastobo_py_spark.queries._registry import (
-    GENERATED_ORACLES as _GENERATED_ORACLES,
-    QUERIES,
-    STATIC_SQLS,
-)
+from fastobo_py_spark.queries._registry import QUERIES, STATIC_SQLS
 from fastobo_py_spark.operators.hints import gated_broadcast
 from fastobo_py_spark.sources.tables import load_table
 

@@ -3,6 +3,7 @@ linking (O7), frame dicts (O12), diffing (O15), multimodal plumbing."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -390,10 +391,17 @@ def test_png_codec_rejects_garbage():
     bad = sig + struct.pack(">I", len(ihdr_data)) + body + struct.pack(">I", zlib.crc32(body))
     with pytest.raises(ValueError):
         decode_png(bad)
-    # truncated IDAT (length mismatch after inflate)
+    # truncated IDAT → ValueError (the documented contract: corrupt
+    # containers never leak zlib/struct errors to callers)
     ok = bytearray(encode_png(3, 3, 1, bytes(range(9))))
-    with pytest.raises(Exception):
+    with pytest.raises(ValueError):
         decode_png(bytes(ok[:-20]))
+    # truncated mid-IHDR → ValueError, not struct.error
+    ihdr_trunc = struct.pack(">IIB", 2, 2, 8)
+    body2 = b"IHDR" + ihdr_trunc
+    bad2 = sig + struct.pack(">I", len(ihdr_trunc)) + body2 + struct.pack(">I", zlib.crc32(body2))
+    with pytest.raises(ValueError):
+        decode_png(bad2)
 
 
 def test_real_decode_strict_without_pillow(spark):
@@ -403,11 +411,20 @@ def test_real_decode_strict_without_pillow(spark):
     from fastobo_py_spark.operators.multimodal import extract_features, synth_png_media
 
     media = synth_png_media(spark, n=6)
-    feats = {r["media_id"]: r["features"] for r in extract_features(media, dim=8).collect()}
+    feats = {
+        r["media_id"]: r["features"]
+        for r in extract_features(media, dim=8, codec="png").collect()
+    }
     assert len(feats) == 6
     assert all(len(v) == 8 and all(0.0 <= x <= 1.0 for x in v) for v in feats.values())
-    again = {r["media_id"]: r["features"] for r in extract_features(media, dim=8).collect()}
+    again = {
+        r["media_id"]: r["features"]
+        for r in extract_features(media, dim=8, codec="png").collect()
+    }
     assert feats == again
+    # auto dispatch also succeeds here (vendored fallback; would be
+    # Pillow's bicubic features on a Pillow-equipped host)
+    assert extract_features(media, dim=8).count() == 6
 
 
 def test_cosine_udf_matches_hof(spark):
@@ -430,3 +447,31 @@ def test_cosine_udf_matches_hof(spark):
     )
     bad = diff.where(~F.col("n_eq") | ~F.col("d_eq")).count()
     assert bad == 0
+
+
+def test_cosine_udf_edge_semantics(spark):
+    """The Arrow kernels keep the HOF's edge semantics instead of
+    crashing: empty array → 0.0 norm / 0.0 dot, null → null, mismatched
+    zip lengths → null (null padding poisons the fold)."""
+    from fastobo_py_spark.operators.similarity import _norm_hof, dot_udf, norm_udf
+
+    rows = [
+        (1, [1.0, 2.0], [3.0, 4.0]),
+        (2, [], []),
+        (3, None, [1.0]),
+        (4, [1.0, 2.0, 3.0], [1.0]),  # ragged batch + zip mismatch
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    got = {
+        r["id"]: (r["n"], r["d"])
+        for r in df.select(
+            "id", norm_udf("a").alias("n"), dot_udf("a", "b").alias("d")
+        ).collect()
+    }
+    assert got[1] == (pytest.approx(5.0**0.5), 11.0)
+    assert got[2] == (0.0, 0.0)
+    assert got[3] == (None, None)
+    assert got[4][1] is None  # dot over mismatched lengths -> null like zip_with
+    # HOF agreement on the same frame (norm side; dot nulls already pinned)
+    hof = {r["id"]: r["nh"] for r in df.select("id", _norm_hof(F.col("a")).alias("nh")).collect()}
+    assert {k: v[0] for k, v in got.items()} == hof

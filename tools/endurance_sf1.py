@@ -75,17 +75,20 @@ def build_sf1(spark) -> None:
         "events": lambda df, i: _shift(
             _shift(df, "event_id", STRIDES["event_id"], i), "user_id", STRIDES["user_id"], i
         ),
-        # rotate the word sequence by 17·i: same language/length profile,
-        # but 3-shingle overlap across copies collapses (no 10-cliques in
-        # the near-dup graph); n_chars re-derived from the rotated text
+        # rotate the word sequence by a DISTINCT offset per copy (2+3i:
+        # injective over i=1..9 — a modular formula here once collided for
+        # copies 1/8 and 2/9, silently making them byte-identical): same
+        # language/length profile, but 3-shingle overlap across copies
+        # collapses (no 10-cliques in the near-dup graph); n_chars
+        # re-derived from the rotated text
         "documents": lambda df, i: df.withColumn(
             "text",
             F.when(F.lit(i) == 0, F.col("text")).otherwise(
                 F.concat_ws(
                     " ",
                     F.flatten(F.array(
-                        F.expr(f"slice(split(text, ' '), {17 * i % 7 + 2}, size(split(text, ' ')))"),
-                        F.expr(f"slice(split(text, ' '), 1, {17 * i % 7 + 1})"),
+                        F.expr(f"slice(split(text, ' '), {3 * i + 3}, size(split(text, ' ')))"),
+                        F.expr(f"slice(split(text, ' '), 1, {3 * i + 2})"),
                     )),
                 )
             ),
