@@ -31,10 +31,18 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-# corpus sizing for the OBO throughput leg (files incl. noise; OBO docs
-# dominate bytes). ~800 files ≈ 8 MB of OBO text.
+# corpus sizing. The timed headline query (obo_kg_pipeline) keeps the
+# historical ~800-file corpus so headline_total stays comparable across
+# rounds. The THROUGHPUT leg (obo_files_per_sec — the BASELINE metric)
+# runs a separate 6,800-file corpus from round 4 on: at 800 files the
+# two job submissions + py-worker spin-up dominate (343 files/s there
+# vs 7,077 at 130k files, BENCH_r04_sf1.json), so the small corpus
+# measured fixed cost, not throughput. Pre-r04 obo_files_per_sec values
+# used the 800-file corpus and are not directly comparable.
 BENCH_OBO = int(os.environ.get("SPARK_GRAFT_BENCH_OBO", "600"))
 BENCH_NOISE = int(os.environ.get("SPARK_GRAFT_BENCH_NOISE", "200"))
+TPUT_OBO = int(os.environ.get("SPARK_GRAFT_TPUT_OBO", "6400"))
+TPUT_NOISE = int(os.environ.get("SPARK_GRAFT_TPUT_NOISE", "400"))
 
 HEADLINE = [
     "pricing_summary",
@@ -184,13 +192,18 @@ def run_bench() -> dict:
     # scaling harness: the shared host's load spikes would otherwise be
     # indistinguishable from regressions in the round-over-round record.
     _obo_pipeline_files_per_sec(spark, 20, 10)
-    fps, n_edges, t_best = 0.0, 0, float("inf")
+    t_best = float("inf")
     for _ in range(2):
         t0 = time.time()
-        f, n = _obo_pipeline_files_per_sec(spark, BENCH_OBO, BENCH_NOISE)
-        if f > fps:
-            fps, n_edges, t_best = f, n, time.time() - t0
+        _obo_pipeline_files_per_sec(spark, BENCH_OBO, BENCH_NOISE)
+        t_best = min(t_best, time.time() - t0)
     timings["obo_kg_pipeline"] = round(t_best, 3)
+    # throughput leg: bigger corpus, fixed costs amortized (see sizing note)
+    fps, n_edges = 0.0, 0
+    for _ in range(2):
+        f, n = _obo_pipeline_files_per_sec(spark, TPUT_OBO, TPUT_NOISE)
+        if f > fps:
+            fps, n_edges = f, n
 
     total = round(sum(timings.values()), 3)
     sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else SF_DIR)
