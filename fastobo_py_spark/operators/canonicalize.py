@@ -34,11 +34,21 @@ from fastobo_py_spark.operators.idents import edge_idspace, ident_prefix
 
 
 def alias_map(clauses: DataFrame) -> DataFrame:
-    """(doc_sha, alias, canonical) from alt_id declarations (O8)."""
+    """(doc_sha, alias, canonical) from alt_id declarations (O8).
+
+    Conflicting declarations (two frames claiming the same alt_id) keep
+    the FIRST in document order — min_by (frame_ix, clause_ix) — the same
+    rule the pure-Python oracle applies by iterating clauses in parse
+    order; a dropDuplicates here kept an arbitrary survivor and could
+    disagree with the fused kernel run-to-run."""
     return (
         clauses.where((F.col("tag") == "alt_id") & (F.col("frame_id") != ""))
-        .select("doc_sha", F.col("v1").alias("alias"), F.col("frame_id").alias("canonical"))
-        .dropDuplicates(["doc_sha", "alias"])
+        .groupBy("doc_sha", F.col("v1").alias("alias"))
+        .agg(
+            F.min_by(
+                F.col("frame_id"), F.struct(F.col("frame_ix"), F.col("clause_ix"))
+            ).alias("canonical")
+        )
     )
 
 
@@ -194,9 +204,9 @@ def combined_map_distributed(dims: DataFrame, max_hops: int = 3) -> DataFrame:
     def kernel(batches):
         docs: dict = {}
         for pdf in batches:
-            for sha, ftype, fid, tag, v1, cix in zip(
+            for sha, ftype, fid, tag, v1, fix, cix in zip(
                 pdf["doc_sha"], pdf["frame_type"], pdf["frame_id"],
-                pdf["tag"], pdf["v1"], pdf["clause_ix"],
+                pdf["tag"], pdf["v1"], pdf["frame_ix"], pdf["clause_ix"],
             ):
                 if v1 is None:
                     continue
@@ -208,7 +218,13 @@ def combined_map_distributed(dims: DataFrame, max_hops: int = 3) -> DataFrame:
                         d["spaces"].add(v1)
                 elif fid:
                     if tag == "alt_id":
-                        d["alias"].setdefault(v1, fid)  # first wins, like drop_duplicates
+                        # first in DOCUMENT order wins (same rule as
+                        # alias_map's min_by and the oracle's parse-order
+                        # iteration) — partition arrival order after the
+                        # shuffle is not deterministic, so track the key
+                        cur = d["alias"].get(v1)
+                        if cur is None or (fix, cix) < cur[1]:
+                            d["alias"][v1] = (fid, (fix, cix))
                     elif tag == "replaced_by":
                         cur = d["repl"].get(fid)
                         if cur is None or cix < cur[1]:
@@ -220,7 +236,9 @@ def combined_map_distributed(dims: DataFrame, max_hops: int = 3) -> DataFrame:
         out: list[tuple] = []
         for sha, d in docs.items():
             repl = {k: v[0] for k, v in d["repl"].items()}
-            res = dict(d["alias"])  # alias wins over a same-key replacement
+            # strip the (frame_ix, clause_ix) tiebreak keys; alias wins
+            # over a same-key replacement
+            res = {k: v[0] for k, v in d["alias"].items()}
             for k in repl:
                 res.setdefault(k, k)
             for _ in range(max_hops):
@@ -233,26 +251,16 @@ def combined_map_distributed(dims: DataFrame, max_hops: int = 3) -> DataFrame:
                 for fid, x in d["xrefs"]:
                     if py_prefix(x) in d["spaces"]:
                         pairs.append((fid, x))
-            parent: dict = {}
+            from fastobo_py_spark.operators.components import MinUnionFind
 
-            def find(x):
-                r = x
-                while parent.get(r, r) != r:
-                    r = parent[r]
-                while parent.get(x, x) != x:
-                    parent[x], x = r, parent[x]
-                return r
-
+            uf = MinUnionFind()
             verts = set()
             for a, b in pairs:
                 a, b = res.get(a, a), res.get(b, b)
                 verts.add(a)
                 verts.add(b)
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                    parent[hi] = lo
-            comp = {v: find(v) for v in verts}
+                uf.union(a, b)
+            comp = {v: uf.find(v) for v in verts}
 
             for old, new in res.items():
                 final = comp.get(new, new)
@@ -265,7 +273,7 @@ def combined_map_distributed(dims: DataFrame, max_hops: int = 3) -> DataFrame:
             yield pd.DataFrame(out, columns=["doc_sha", "old", "new"])
 
     n = int(dims.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    cols = ["doc_sha", "frame_type", "frame_id", "tag", "v1", "clause_ix"]
+    cols = ["doc_sha", "frame_type", "frame_id", "tag", "v1", "frame_ix", "clause_ix"]
     hdr = F.col("frame_type") == "Header"
     # xref rows dominate the dims volume but only those covered by a
     # treat-xrefs-as-equivalent macro ever matter — filter them with a
@@ -507,38 +515,25 @@ def apply_xref_macros(edges: DataFrame, clauses: DataFrame, strategy: str = "aut
     # SINGLE pass: each matched (xref, macro) row emits its 1-2 synthesized
     # edges through one explode — the 8-branch union formulation re-scanned
     # the join once per branch (measured 6.7s -> this shape is one stage).
-    s, o, k, rel, filler = F.col("subj"), F.col("obj"), F.col("kind"), F.col("rel"), F.col("filler")
-    pair = lambda subj, pred, obj: F.struct(subj.alias("s"), pred.alias("p"), obj.alias("o"))
-    emitted = (
-        F.when(k == "treat-xrefs-as-equivalent", F.array(pair(s, F.lit("equivalent_to"), o)))
-        .when(k == "treat-xrefs-as-is_a", F.array(pair(s, F.lit("is_a"), o)))
-        .when(k == "treat-xrefs-as-has-subclass", F.array(pair(o, F.lit("is_a"), s)))
-        .when(k == "treat-xrefs-as-relationship", F.array(pair(s, rel, o)))
-        .when(
-            k == "treat-xrefs-as-genus-differentia",
-            F.array(
-                pair(s, F.lit("intersection_of:genus"), o),
-                pair(s, F.concat(F.lit("intersection_of:"), rel), filler),
-            ),
-        )
-        .when(
-            k == "treat-xrefs-as-reverse-genus-differentia",
-            F.array(
-                pair(o, F.lit("intersection_of:genus"), s),
-                pair(o, F.concat(F.lit("intersection_of:"), rel), filler),
-            ),
-        )
-        .otherwise(F.array())
+    # The emission when-chain is _macro_emit, shared with the fused
+    # extraction path, so the two strategies cannot drift.
+    emitted = _macro_emit(
+        F.col("kind"), F.col("rel"), F.col("filler"), F.col("subj"), F.col("obj")
     )
     synthesized = (
-        m.select("doc_sha", "idspace", F.explode(emitted).alias("e"))
+        m.select("doc_sha", F.explode(emitted).alias("e"))
         .select(
             F.col("e.s").alias("subj"),
             F.col("e.p").alias("pred"),
             F.col("e.o").alias("obj"),
-            F.lit("xref-macro").alias("src_tag"),
+            F.col("e.st").alias("src_tag"),
             "doc_sha",
-            "idspace",
+            # re-derive from the SYNTHESIZED subject: reversed kinds
+            # (has-subclass, reverse-genus-differentia) change the edge's
+            # subject prefix, and the raw-edge write path partitions on
+            # this column — inheriting the xref edge's idspace would file
+            # those edges under the wrong partition
+            edge_idspace(F.col("e.s")).alias("idspace"),
         )
     )
     return edges.unionByName(synthesized)

@@ -32,6 +32,33 @@ from fastobo_py_spark.operators.hints import gated_broadcast, known_rows
 _SHA_LEN = 64
 
 
+class MinUnionFind:
+    """Local union-find with path compression and MIN-element
+    representatives — THE component-labeling invariant every path in this
+    package shares (driver shortcut, partition-wide kernel, and the fused
+    canonicalization kernel all label a component by its smallest member,
+    matching oracle.py). One implementation so the three call sites
+    cannot drift."""
+
+    def __init__(self) -> None:
+        self._parent: dict = {}
+
+    def find(self, x):
+        parent = self._parent
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    def union(self, a, b) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            self._parent[hi] = lo
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "src",
@@ -50,35 +77,27 @@ def connected_components(
     localCheckpoint truncating lineage so iteration N doesn't recompute
     iterations 1..N-1. Both paths produce identical labels (min id).
     """
+    # checkpoint BEFORE the size probe: the probe and the distributed
+    # loop otherwise each execute the full upstream plan (dedup/join
+    # chains feeding dedup_clusters are exactly the expensive case)
     e_raw = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .dropDuplicates()
+        .localCheckpoint(eager=True)
     )
     # ONE driver job: fetch up to threshold+1 pairs; overflow → distributed
     rows = e_raw.limit(driver_threshold + 1).collect()
     if len(rows) <= driver_threshold:
-        parent: dict = {}
-
-        def find(x: str) -> str:
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:
-                parent[x], x = r, parent[x]
-            return r
-
+        uf = MinUnionFind()
         for row in rows:
-            ra, rb = find(row[0]), find(row[1])
-            if ra != rb:
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
+            uf.union(row[0], row[1])
         ids = {v for row in rows for v in row}
-        out = [(i, find(i)) for i in sorted(ids)]
+        out = [(i, uf.find(i)) for i in sorted(ids)]
         return known_rows(
             e_raw.sparkSession.createDataFrame(out, "id string, component string"), len(out)
         )
-    return _distributed_cc(e_raw.localCheckpoint(eager=True), max_iter)
+    return _distributed_cc(e_raw, max_iter)
 
 
 def _distributed_cc(e: DataFrame, max_iter: int) -> DataFrame:
@@ -120,6 +139,19 @@ def _distributed_cc(e: DataFrame, max_iter: int) -> DataFrame:
         if fp == prev_fp:
             break
         prev_fp = fp
+    else:
+        # the docstring's promised diagnostic: a diameter > max_iter graph
+        # would otherwise return one real component under SEVERAL labels
+        # with no signal, and canonical_rewrite would silently split it
+        import warnings
+
+        warnings.warn(
+            f"_distributed_cc hit max_iter={max_iter} before the label "
+            "fixpoint — component labels may be split; raise max_iter for "
+            "graphs with diameter beyond it",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
@@ -168,16 +200,7 @@ def per_doc_components(pairs_with_sha: DataFrame) -> DataFrame:
     import pandas as pd
 
     def uf_partition(batches):
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:
-                parent[x], x = r, parent[x]
-            return r
-
+        uf = MinUnionFind()
         seen: set = set()
         for pdf in batches:
             for d, a, b in zip(pdf["doc_sha"], pdf["src"], pdf["dst"]):
@@ -186,13 +209,10 @@ def per_doc_components(pairs_with_sha: DataFrame) -> DataFrame:
                 ka, kb = (d, a), (d, b)
                 seen.add(ka)
                 seen.add(kb)
-                ra, rb = find(ka), find(kb)
-                if ra != rb:
-                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                    parent[hi] = lo
+                uf.union(ka, kb)
         if not seen:
             return
-        out = [(d, i, find((d, i))[1]) for d, i in sorted(seen)]
+        out = [(d, i, uf.find((d, i))[1]) for d, i in sorted(seen)]
         yield pd.DataFrame(out, columns=["doc_sha", "id", "component"])
 
     n = int(pairs_with_sha.sparkSession.conf.get("spark.sql.shuffle.partitions"))

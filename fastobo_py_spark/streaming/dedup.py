@@ -139,6 +139,17 @@ BUCKET_STATE = T.StructType(
 )
 
 
+def _py_normalize(text: str) -> str:
+    """Python mirror of operators/text.normalize_text, EXACT: Spark trim
+    strips ASCII spaces only, Java \s is ASCII ([ \t\n\x0B\f\r]) —
+    Python's default Unicode-wide strip()/\s would normalize (and
+    therefore shingle) differently and break stream/batch parity.
+    Module-level so the parity is directly testable."""
+    import re
+
+    return re.sub(r"\s+", " ", text.strip(" "), flags=re.ASCII).lower()
+
+
 def _signature_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Stateless kernel: (doc_id, text) → one row per LSH band with the
     full MinHash signature. Bit-identical to the batch path
@@ -152,7 +163,7 @@ def _signature_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from fastobo_py_spark.operators.dedup import N_BANDS, N_MINHASH, ROWS_PER_BAND, SHINGLE_K
 
     def signature(text: str) -> list[int]:
-        norm = re.sub(r"\s+", " ", text.strip()).lower()
+        norm = _py_normalize(text)
         toks = norm.split(" ")
         if len(toks) >= SHINGLE_K:
             shingles = [" ".join(toks[i : i + SHINGLE_K]) for i in range(len(toks) - SHINGLE_K + 1)]
@@ -171,6 +182,8 @@ def _signature_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if text is None:
+                continue  # batch path: normalize_text(NULL) explodes to nothing
             sig = signature(text)
             for band in range(N_BANDS):
                 sl = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
@@ -326,7 +339,12 @@ def _emb_bucket_pairs_fn(threshold: float):
                 continue  # replayed batch
             nv = nrm(v)
             for mid, mv in zip(ids, vecs):
-                if dot(v, mv) / (nv * nrm(mv)) >= threshold:
+                denom = nv * nrm(mv)
+                # zero-norm vector: Spark's Divide yields NULL and the
+                # batch filter drops the pair — mirror that, don't crash
+                if denom == 0.0:
+                    continue
+                if dot(v, mv) / denom >= threshold:
                     a, b = (vec_id, mid) if vec_id < mid else (mid, vec_id)
                     out.append((t_ix, a, b))
             ids.append(vec_id)

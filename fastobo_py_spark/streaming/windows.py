@@ -79,7 +79,10 @@ def _user_totals_fn(
         # from zero), matching Spark's F.round in the batch mirror —
         # pandas .round() is banker's half-even and diverges on exact
         # .5e-4 boundaries.
-        v = pdf["value"].to_numpy()
+        # F.sum in the batch mirror ignores nulls; a NaN here would
+        # otherwise cast to INT64_MIN and permanently corrupt the state
+        v = pdf["value"].to_numpy(dtype="float64")
+        v = v[~np.isnan(v)]
         s += int((np.floor(np.abs(v) * 10_000 + 0.5) * np.sign(v)).astype("int64").sum())
         if len(pdf):
             last = max(last, int(pdf["ts"].astype("int64").max()) // 1000)  # ns → µs

@@ -670,3 +670,37 @@ def test_output_compaction_crash_recovery(spark, corpus):
         assert spark.read.parquet(f"{out}/nodes").count() == n0
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_alias_conflict_first_declared_wins(spark):
+    """Two frames claiming the same alt_id: ALL canonicalization paths
+    (alias_map min_by, fused kernel, pure-Python oracle) must keep the
+    FIRST declaration in document order — previously dropDuplicates /
+    setdefault-on-arrival-order kept an arbitrary survivor that could
+    differ per run and per strategy."""
+    import hashlib
+
+    from fastobo_py_spark.operators.canonicalize import alias_map, combined_map_distributed
+    from fastobo_py_spark.operators.parse import parse_corpus, split_parsed
+    from fastobo_py_spark.schema import CORPUS_SCHEMA
+
+    content = (
+        "format-version: 1.2\n\n"
+        "[Term]\nid: T:1\nalt_id: T:9\n\n"
+        "[Term]\nid: T:2\nalt_id: T:9\n\n"
+        "[Term]\nid: T:3\nis_a: T:9\n"
+    )
+    corpus = spark.createDataFrame(
+        [("r", "a.obo", "c1", "obo", content)], schema=CORPUS_SCHEMA
+    )
+    clauses, _ = split_parsed(parse_corpus(corpus))
+    sha = hashlib.sha256(content.encode()).hexdigest()
+
+    am = {(r["alias"]): r["canonical"] for r in alias_map(clauses).collect()}
+    assert am == {"T:9": "T:1"}
+    dims = clauses  # tiny doc: the whole clause set is a valid dims input
+    fused = {
+        (r["old"]): r["new"]
+        for r in combined_map_distributed(dims).where(F.col("doc_sha") == sha).collect()
+    }
+    assert fused.get("T:9") == "T:1"

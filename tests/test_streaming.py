@@ -350,3 +350,109 @@ def test_stream_exact_dedup_state_ttl(spark):
             except Exception:
                 pass
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_minhash_normalization_parity(spark):
+    """The streaming kernel's Python normalization must equal Spark's
+    normalize_text byte-for-byte — including the Unicode traps (tab /
+    NBSP / form feed), where Python's default strip()/\\s are wider
+    than Spark trim / Java \\s and would shingle differently."""
+    from fastobo_py_spark.operators.text import normalize_text
+    from fastobo_py_spark.streaming.dedup import _py_normalize
+
+    texts = [
+        "\thello there world of text",
+        "a\u00a0b c d e f",  # NBSP is NOT whitespace to Spark trim/\\s
+        "  x  y\tz w v u  ",
+        "mixedvertical\ftabs\r\nnewlines",
+        "plain words only",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {r["i"]: r["n"] for r in df.select("i", normalize_text(F.col("text")).alias("n")).collect()}
+    for i, t in enumerate(texts):
+        assert _py_normalize(t) == got[i], repr(t)
+
+
+def test_stream_dedup_degenerate_inputs(spark):
+    """Degenerate-but-legal rows must not kill the stream: null text is
+    dropped like the batch path's normalize_text(NULL), and a zero-norm
+    embedding never emits a pair (batch: NULL cosine filtered) instead of
+    raising ZeroDivisionError."""
+    from fastobo_py_spark.streaming.dedup import stream_embedding_near_dup, stream_minhash_pairs
+
+    base = tempfile.mkdtemp(prefix="stream_degen_")
+    try:
+        src = f"{base}/docs"
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, None), (3, "alpha beta gamma delta")],
+            "doc_id long, text string",
+        ).coalesce(1).write.parquet(src)
+        q = (
+            stream_minhash_pairs(spark.readStream.schema("doc_id long, text string").parquet(src))
+            .writeStream.format("parquet")
+            .option("path", f"{base}/out1")
+            .option("checkpointLocation", f"{base}/ckpt1")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        pairs = {(r["doc_a"], r["doc_b"]) for r in spark.read.parquet(f"{base}/out1").collect()}
+        assert pairs == {(1, 3)}
+
+        esrc = f"{base}/emb"
+        spark.createDataFrame(
+            [(1, [1.0, 2.0, 1.0, 0.5]), (2, [0.0, 0.0, 0.0, 0.0]), (3, [1.0, 2.0, 1.0, 0.5])],
+            "vec_id long, embedding array<double>",
+        ).coalesce(1).write.parquet(esrc)
+        q2 = (
+            stream_embedding_near_dup(
+                spark.readStream.schema("vec_id long, embedding array<double>").parquet(esrc),
+                threshold=0.4,
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{base}/out2")
+            .option("checkpointLocation", f"{base}/ckpt2")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+        epairs = {(r["vec_a"], r["vec_b"]) for r in spark.read.parquet(f"{base}/out2").collect()}
+        assert epairs == {(1, 3)}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_user_totals_ignores_null_values(spark):
+    """A null `value` event must not poison the fixed-point state (NaN
+    floor-cast would add INT64_MIN); the total matches F.sum semantics
+    (nulls ignored) while the event still counts."""
+    import datetime
+
+    from fastobo_py_spark.streaming.windows import stream_user_totals
+
+    base = tempfile.mkdtemp(prefix="stream_nullval_")
+    try:
+        ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        spark.createDataFrame(
+            [(7, ts, 1.5), (7, ts, None), (7, ts, 2.25)],
+            "user_id long, ts timestamp, value double",
+        ).coalesce(1).write.parquet(f"{base}/events")
+        q = (
+            stream_user_totals(
+                spark.readStream.schema("user_id long, ts timestamp, value double").parquet(f"{base}/events")
+            )
+            .writeStream.format("memory")
+            .queryName("nullval_sink")
+            .outputMode("update")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.sql("select * from nullval_sink order by n_events desc").collect()
+        assert rows[0]["n_events"] == 3
+        assert rows[0]["sum_value_e4"] == 37500  # 1.5 + 2.25, null ignored
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
