@@ -116,7 +116,10 @@ def escape_unquoted(s: str) -> str:
 
     Only what would change parse semantics: backslash itself, real
     newlines/tabs (owl-axioms carries literal \\n sequences in the wild —
-    ms.obo header), comment starts and qualifier-block opens.
+    ms.obo header), comment starts, qualifier-block opens, and the two
+    region-openers a reparse would otherwise treat structurally — a raw
+    ``"`` opens a quoted span (swallowing any trailing ``! comment``) and
+    a raw ``[`` opens bracket nesting with the same effect.
     """
     return (
         s.replace("\\", "\\\\")
@@ -124,6 +127,8 @@ def escape_unquoted(s: str) -> str:
         .replace("\t", "\\t")
         .replace("!", "\\!")
         .replace("{", "\\{")
+        .replace('"', '\\"')
+        .replace("[", "\\[")
     )
 
 

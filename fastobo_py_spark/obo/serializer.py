@@ -84,7 +84,10 @@ def format_clause(
             parts.append(scope)
         if v1 is not None:
             parts.append(escape_ident(v1))
-        parts.append(_fmt_xrefs(xrefs or []))
+        # len-safe: Arrow delivers array<struct> cells as np.ndarray,
+        # whose truthiness raises for 2+ elements (`xrefs or []` died
+        # on any multi-xref synonym)
+        parts.append(_fmt_xrefs(xrefs if xrefs is not None else []))
     elif tag == "intersection_of":
         if v1 is not None:
             parts.append(escape_ident(v1))
@@ -122,7 +125,7 @@ def format_clause(
         parts.append(escape_unquoted(value_text) if value_text is not None else "")
 
     line = f"{tag}: " + " ".join(p for p in parts if p != "")
-    if qualifiers:
+    if qualifiers is not None and len(qualifiers):
         quals = ", ".join(
             f'{escape_ident(q["key"] if isinstance(q, dict) else q[0])}="{escape_quoted(q["value"] if isinstance(q, dict) else q[1])}"'
             for q in qualifiers

@@ -62,7 +62,13 @@ def dump_graph(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         F.struct(
             decompact_prefixed(F.col("id")).alias("id"),
             F.col("name").alias("lbl"),
-            F.when(F.col("frame_type") == "Typedef", F.lit("PROPERTY")).otherwise(F.lit("CLASS")).alias("type"),
+            # obographs node types: CLASS | PROPERTY | INDIVIDUAL —
+            # Instance frames must not collapse to CLASS or a dump/load
+            # round-trip silently destroys Instance-ness
+            F.when(F.col("frame_type") == "Typedef", F.lit("PROPERTY"))
+            .when(F.col("frame_type") == "Instance", F.lit("INDIVIDUAL"))
+            .otherwise(F.lit("CLASS"))
+            .alias("type"),
             meta.alias("meta"),
         ).alias("node"),
     ).groupBy("doc_sha").agg(F.sort_array(F.collect_list("node")).alias("nodes"))
@@ -171,7 +177,10 @@ def load_graph(spark: SparkSession, json_df: DataFrame) -> tuple[DataFrame, Data
         "doc_sha",
         compact_url(F.col("n.id")).alias("id"),
         F.col("n.lbl").alias("name"),
-        F.when(F.col("n.type") == "PROPERTY", F.lit("Typedef")).otherwise(F.lit("Term")).alias("frame_type"),
+        F.when(F.col("n.type") == "PROPERTY", F.lit("Typedef"))
+        .when(F.col("n.type") == "INDIVIDUAL", F.lit("Instance"))
+        .otherwise(F.lit("Term"))
+        .alias("frame_type"),
         F.col("n.meta.definition.val").alias("definition"),
         F.transform(
             F.coalesce("n.meta.synonyms", F.array()),

@@ -76,10 +76,15 @@ def compact_url(col: Column) -> Column:
 
 
 def decompact_prefixed(col: Column) -> Column:
-    """Prefixed → URL via the default OBO PURL rule (doc.rs:250-285)."""
+    """Prefixed → URL via the default OBO PURL rule (doc.rs:250-285).
+
+    Only the FIRST colon is the prefix separator — locals may themselves
+    contain colons (ms.obo's escaped ``value-type:xsd\\:string``), and a
+    replace-all would conflate prefix and local into an unrecoverable
+    IRI."""
     return F.when(
         ident_kind(col) == "prefixed",
-        F.concat(F.lit(OBO_PURL), F.regexp_replace(col, ":", "_")),
+        F.concat(F.lit(OBO_PURL), F.regexp_replace(col, "^([^:]*):", "$1_")),
     ).otherwise(col)
 
 

@@ -20,7 +20,7 @@ sorted, so output is deterministic and diffable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from fastobo_py_spark.operators.idents import decompact_prefixed
@@ -237,24 +237,40 @@ _OWX_PREAMBLE = (
 )
 
 
-def dump_owl_owx(clauses: DataFrame) -> DataFrame:
-    """(doc_sha, owl_xml): one OWL/XML document per source doc — the owx
-    sibling of :func:`dump_owl_functional` (same per-doc sort/concat
-    aggregation shape)."""
+def _ontology_body(clauses: DataFrame, axioms: DataFrame, axiom_col: str) -> DataFrame:
+    """Shared header/body assembly for the three dump_owl renderers:
+    (doc_sha, axioms, ont) with axioms newline-joined in sorted order and
+    ont = the min `ontology:` header value (deterministic under dups).
+    One implementation so the formats cannot drift."""
     hdr_ont = (
         clauses.where((F.col("frame_type") == "Header") & (F.col("tag") == "ontology"))
         .groupBy("doc_sha")
         .agg(F.min("value_text").alias("ont"))
     )
-    body = (
-        owl_axioms_owx(clauses)
-        .groupBy("doc_sha")
-        .agg(F.concat_ws("\n", F.sort_array(F.collect_list("axiom_xml"))).alias("axioms"))
+    body = axioms.groupBy("doc_sha").agg(
+        F.concat_ws("\n", F.sort_array(F.collect_list(axiom_col))).alias("axioms")
     )
-    joined = body.join(hdr_ont, "doc_sha", "left")
-    ont_iri = F.concat(
-        F.lit("http://purl.obolibrary.org/obo/"), F.coalesce(F.col("ont"), F.col("doc_sha")), F.lit(".owl")
+    return body.join(hdr_ont, "doc_sha", "left")
+
+
+def _ontology_iri() -> Column:
+    """Ontology IRI from the joined `ont` value (doc_sha fallback). A
+    URL-shaped value passes through untouched — plana.obo (and the
+    corpus's plana family) declares `ontology: http://purl.obolibrary.org/obo`,
+    and prefixing it again produced a double-prefixed invalid IRI in all
+    three export formats."""
+    base = F.coalesce(F.col("ont"), F.col("doc_sha"))
+    return F.when(base.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), base).otherwise(
+        F.concat(F.lit("http://purl.obolibrary.org/obo/"), base, F.lit(".owl"))
     )
+
+
+def dump_owl_owx(clauses: DataFrame) -> DataFrame:
+    """(doc_sha, owl_xml): one OWL/XML document per source doc — the owx
+    sibling of :func:`dump_owl_functional` (same per-doc sort/concat
+    aggregation shape)."""
+    joined = _ontology_body(clauses, owl_axioms_owx(clauses), "axiom_xml")
+    ont_iri = _ontology_iri()
     pre, post = _OWX_PREAMBLE.split("{iri}")
     return joined.select(
         "doc_sha",
@@ -267,25 +283,13 @@ def dump_owl_owx(clauses: DataFrame) -> DataFrame:
 def dump_owl_functional(clauses: DataFrame) -> DataFrame:
     """(doc_sha, owl_text): one OWL functional-syntax document per source
     doc — Prefix/Ontology wrapper around the sorted axiom list."""
-    hdr_ont = (
-        clauses.where((F.col("frame_type") == "Header") & (F.col("tag") == "ontology"))
-        .groupBy("doc_sha")
-        .agg(F.min("value_text").alias("ont"))
-    )
-    body = (
-        owl_axioms(clauses)
-        .groupBy("doc_sha")
-        .agg(F.concat_ws("\n", F.sort_array(F.collect_list("axiom"))).alias("axioms"))
-    )
-    joined = body.join(hdr_ont, "doc_sha", "left")
+    joined = _ontology_body(clauses, owl_axioms(clauses), "axiom")
     preamble = (
         "Prefix(owl:=<http://www.w3.org/2002/07/owl#>)\n"
         "Prefix(rdfs:=<http://www.w3.org/2000/01/rdf-schema#>)\n"
         "Prefix(xsd:=<http://www.w3.org/2001/XMLSchema#>)\n"
     )
-    ont_iri = F.concat(
-        F.lit("<http://purl.obolibrary.org/obo/"), F.coalesce(F.col("ont"), F.col("doc_sha")), F.lit(".owl>")
-    )
+    ont_iri = F.concat(F.lit("<"), _ontology_iri(), F.lit(">"))
     return joined.select(
         "doc_sha",
         F.concat(
@@ -403,20 +407,8 @@ def dump_owl_rdf(clauses: DataFrame) -> DataFrame:
     """(doc_sha, owl_rdf): one OWL RDF/XML document per source doc — the
     'rdf' sibling of the functional and owx dumps (same per-doc
     sort/concat aggregation shape)."""
-    hdr_ont = (
-        clauses.where((F.col("frame_type") == "Header") & (F.col("tag") == "ontology"))
-        .groupBy("doc_sha")
-        .agg(F.min("value_text").alias("ont"))
-    )
-    body = (
-        owl_axioms_rdf(clauses)
-        .groupBy("doc_sha")
-        .agg(F.concat_ws("\n", F.sort_array(F.collect_list("axiom_rdf"))).alias("axioms"))
-    )
-    joined = body.join(hdr_ont, "doc_sha", "left")
-    ont_iri = F.concat(
-        F.lit("http://purl.obolibrary.org/obo/"), F.coalesce(F.col("ont"), F.col("doc_sha")), F.lit(".owl")
-    )
+    joined = _ontology_body(clauses, owl_axioms_rdf(clauses), "axiom_rdf")
+    ont_iri = _ontology_iri()
     ont_el = F.concat(F.lit('<owl:Ontology rdf:about="'), _xesc(ont_iri), F.lit('"/>'))
     return joined.select(
         "doc_sha",

@@ -34,11 +34,18 @@ _OUT_COLS = [f.name for f in PARSE_OUTPUT_SCHEMA.fields]
 def is_obo_document(content_col, lang_col=None):
     """O1 predicate: cheap column-level OBO sniff, pushed into the scan.
 
-    A file is OBO if tagged ``lang='OBO'`` or its content starts with a
-    ``format-version:`` header / contains a frame header. Runs entirely
-    JVM-side so Catalyst can pipeline it with the parquet scan.
+    A file is OBO if tagged ``lang='OBO'`` or any LINE in its first 64 KB
+    is a ``format-version:`` header or a frame header. The sniff is
+    deliberately recall-biased: a false positive just reaches the parser
+    (which quarantines it with a reason), while a false negative is
+    SILENT data loss — the earlier bracket-free-prefix formulation
+    dropped headerless docs, docs with ``[`` anywhere in the header
+    (``remark: see [ref]``), and >4 KB preambles without a trace. Runs
+    entirely JVM-side so Catalyst can pipeline it with the parquet scan.
     """
-    sniff = content_col.rlike(r"(?s)\A\s*format-version:|(?s)\A[^\[]{0,4096}\n\[(Term|Typedef|Instance)\]")
+    sniff = F.substring(content_col, 1, 65536).rlike(
+        r"(?m)^\s*(format-version:|\[(Term|Typedef|Instance)\])"
+    )
     if lang_col is not None:
         return (lang_col == "OBO") | sniff
     return sniff

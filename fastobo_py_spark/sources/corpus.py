@@ -37,8 +37,11 @@ def _header(lines: list[str]) -> str:
 
 def make_ms_like(doc_ix: int, n_terms: int = 50, n_typedefs: int = 2) -> str:
     """ms.obo-style: MS: idspace, def+xrefs, escaped ident xref,
-    relationship has_units, is_a chains into a root. 48 is_a + 12
-    relationship edges at the default size (FIXTURES.md §3)."""
+    relationship has_units, is_a chains into a root. At the default
+    size: 53 frames (50 terms + 2 typedefs + 1 instance), 48 is_a + 11
+    relationship edges — measured from the generator itself; FIXTURES.md
+    §3 mirrors these (an earlier doc draft said 52/12 from before the
+    [Instance] frame and the t>=4 guard landed)."""
     p = f"MS{doc_ix}"
     out = [
         "format-version: 1.2",

@@ -274,9 +274,14 @@ def test_owl_functional_dump(spark, clauses):
     assert len(docs) == 40
     for text in docs.values():
         assert text.startswith("Prefix(owl:=")
-        assert "Ontology(<http://purl.obolibrary.org/obo/" in text
+        assert "Ontology(<http" in text
+        # URL-shaped ontology headers (plana family) pass through; only
+        # bare names get the PURL prefix — never both (the double-prefix bug)
+        assert "obo/http://" not in text
         assert text.rstrip().endswith(")")
         assert "Declaration(" in text
+    assert any("Ontology(<http://purl.obolibrary.org/obo/ms" in t for t in docs.values())
+    assert any("Ontology(<http://purl.obolibrary.org/obo>" in t for t in docs.values())
     one = next(t for t in docs.values() if "NamedIndividual" in t)
     assert "ClassAssertion(" in one
     assert "SubClassOf(" in one
@@ -321,7 +326,10 @@ def test_owl_owx_dump(spark, clauses):
     for text in docs.values():
         root = ET.fromstring(text)  # raises on malformed XML
         assert root.tag.endswith("Ontology")
-        assert root.attrib["ontologyIRI"].startswith("http://purl.obolibrary.org/obo/")
+        iri = root.attrib["ontologyIRI"]
+        # URL-shaped ontology headers pass through; bare names get the
+        # PURL prefix — never both (the double-prefix bug)
+        assert iri.startswith("http") and "obo/http://" not in iri
 
     fn = {
         (r["kind"], r["n"]) for r in
