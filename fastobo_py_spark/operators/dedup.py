@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from fastobo_py_spark.operators.similarity import _dot as _seq_dot
 from fastobo_py_spark.operators.similarity import _norm as _seq_norm
-from fastobo_py_spark.operators.text import fingerprint, normalize_text
+from fastobo_py_spark.operators.text import fingerprint, normalize_text, word_kgrams
 
 N_MINHASH = 16
 N_BANDS = 4
@@ -74,12 +74,9 @@ def shingles(col: Column, k: int = SHINGLE_K) -> Column:
     shorter than k words get their whole text as the single shingle.
     """
     toks = F.split(normalize_text(col), " ")
-    n = F.size(toks)
-    kshingles = F.transform(
-        F.sequence(F.lit(0), n - F.lit(k)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    return F.when(F.size(toks) >= k, word_kgrams(toks, k)).otherwise(
+        F.array(F.concat_ws(" ", toks))
     )
-    return F.when(n >= k, kshingles).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
 def minhash_signatures(documents: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
@@ -137,6 +134,11 @@ def _memo_signatures(documents: DataFrame) -> DataFrame:
     except Exception:  # plan not hashable (shouldn't happen) — no memo
         key = None
     if key is not None and key in _SIGS_CACHE:
+        # true LRU: refresh recency on hit (plain dict order made the
+        # eviction FIFO — the hottest entry could be dropped first, and
+        # its not-yet-executed consumers would silently recompute the
+        # shingle explode + 16 min-aggs the cache exists to amortize)
+        _SIGS_CACHE[key] = _SIGS_CACHE.pop(key)
         return _SIGS_CACHE[key]
     # EAGER fill: the table feeds FOUR plan branches (band left/right,
     # est join a/b) — without a persist each branch re-runs the shingle

@@ -111,18 +111,46 @@ def compact_with_idspaces(df: DataFrame, ident_col: str, clauses: DataFrame) -> 
     """
     from fastobo_py_spark.operators.hints import gated_broadcast
 
-    ids = gated_broadcast(idspace_map(clauses))
+    # ONE dim row per document (its idspaces as an array): a plain
+    # prefix-match join duplicated input rows whenever two declared bases
+    # overlapped (e.g. .../GO_ and .../obo/) — instead each row picks its
+    # LONGEST matching base (most-specific-prefix-wins) from the array,
+    # keeping the join 1:1 by construction
+    ids = gated_broadcast(
+        idspace_map(clauses)
+        .groupBy("doc_sha")
+        .agg(
+            F.collect_list(F.struct(F.col("url_base"), F.col("prefix"))).alias("__spaces")
+        )
+        .withColumnRenamed("doc_sha", "__d")
+    )
     c = F.col(ident_col)
-    joined = df.join(
-        ids,
-        (df["doc_sha"] == ids["doc_sha"]) & c.startswith(ids["url_base"]),
-        "left",
-    ).drop(ids["doc_sha"])
+    joined = df.join(ids, df["doc_sha"] == F.col("__d"), "left").drop("__d")
+    matches = F.filter(F.col("__spaces"), lambda s: c.startswith(s["url_base"]))
+    # array_max over (length, base, prefix) structs = longest base wins
+    best = F.array_max(
+        F.transform(
+            matches,
+            lambda s: F.struct(
+                F.length(s["url_base"]).alias("l"),
+                s["url_base"].alias("url_base"),
+                s["prefix"].alias("prefix"),
+            ),
+        )
+    )
     compacted = F.when(
-        F.col("url_base").isNotNull(),
-        F.concat(F.col("prefix"), F.lit(":"), F.expr(f"substring({ident_col}, length(url_base) + 1)")),
+        best.isNotNull(),
+        F.concat(
+            best["prefix"],
+            F.lit(":"),
+            F.expr(f"substring({ident_col}, length(%s) + 1)" % "__best_base"),
+        ),
     ).otherwise(compact_url(c))
-    return joined.withColumn(ident_col, compacted).drop("prefix", "url_base")
+    return (
+        joined.withColumn("__best_base", best["url_base"])
+        .withColumn(ident_col, compacted)
+        .drop("__spaces", "__best_base")
+    )
 
 
 def edge_idspace(col: Column) -> Column:

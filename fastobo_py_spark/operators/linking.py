@@ -63,12 +63,20 @@ def link_mentions(
 ) -> DataFrame:
     """Join arbitrary (.., mention) rows to candidate entity ids.
 
-    Returns the input columns + (id, kind, scope, n_candidates). Ambiguous
-    mentions (shared surface forms) produce multiple candidate rows;
-    ``n_candidates`` lets consumers keep only unambiguous links.
+    Returns the input columns + (id, kind, scope, dict_doc_sha,
+    n_candidates). Ambiguous mentions (shared surface forms) produce
+    multiple candidate rows; ``n_candidates`` counts DISTINCT candidate
+    entities per surface form — a term whose name is also declared as a
+    synonym contributes several dictionary rows but one candidate, so
+    the "keep only unambiguous links" consumer pattern
+    (n_candidates == 1) must not see row multiplicity. The dictionary's
+    doc_sha is renamed ``dict_doc_sha`` (which document declared the
+    candidate) so it cannot collide with a mention-side doc_sha.
     """
-    d = mention_dictionary(clauses)
-    d = d.withColumn("n_candidates", F.count("*").over(Window.partitionBy("mention")))
+    d = mention_dictionary(clauses).withColumnRenamed("doc_sha", "dict_doc_sha")
+    d = d.withColumn(
+        "n_candidates", F.size(F.collect_set("id").over(Window.partitionBy("mention")))
+    )
     if broadcast_dict:
         # the dictionary is one row per declared surface form — corpus-
         # proportional, so the hint is size-gated (hints.py): above the

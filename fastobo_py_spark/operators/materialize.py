@@ -58,7 +58,9 @@ def build_nodes(clauses: DataFrame) -> DataFrame:
 def frame_dicts(clauses: DataFrame) -> DataFrame:
     """O12: per-frame map<tag, array<values>> — the dict-of-lists doctest
     (abc.rs:102-109) as one aggregation."""
-    ent = clauses.where(F.col("frame_type") != "Header")
+    # same entity filter as build_nodes/mention_dictionary/xref_index:
+    # never key a dict on an empty frame id
+    ent = clauses.where((F.col("frame_type") != "Header") & (F.col("frame_id") != ""))
     per_tag = ent.groupBy("doc_sha", "frame_id", "tag").agg(
         F.sort_array(
             # first non-null slot; '' fallback keeps slotless clauses (e.g.

@@ -159,9 +159,23 @@ def signature_udf(n_planes: int, seed: int = 7):
     def sig(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="object")
-        mat = np.stack(v.to_numpy())
-        bits = mat @ hyperplane_weights(mat.shape[1], n_planes, seed) >= 0
-        return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
+        # null/ragged rows get a NULL bucket (they match nothing in the
+        # equi-join, mirroring the brute-force path's NULL cosine) rather
+        # than np.stack killing the whole task
+        lens = {len(x) for x in v if x is not None}
+        if len(lens) == 1 and not any(x is None for x in v):
+            mat = np.stack(v.to_numpy())
+            bits = mat @ hyperplane_weights(mat.shape[1], n_planes, seed) >= 0
+            return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
+        out = []
+        dim = max(lens) if lens else 0
+        for x in v:
+            if x is None or len(x) != dim:
+                out.append(None)
+                continue
+            row = np.asarray(x, dtype="float64") @ hyperplane_weights(dim, n_planes, seed) >= 0
+            out.append("".join("1" if b else "0" for b in row))
+        return pd.Series(out, dtype="object")
 
     return sig
 
@@ -170,14 +184,20 @@ def lsh_bucketed_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5, n_
     """ANN via hyperplane buckets: candidates share the query's bucket;
     exact cosine + rank within the bucket. Recall < 1 by design — the
     scale path (bucket equi-join instead of cross join)."""
-    e = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("bucket", signature_udf(n_planes, seed)(F.col("v")))
+    # norms computed ONCE per vector as columns (the brute-force shape):
+    # folding them inside the pair expression re-paid an O(dim) norm per
+    # candidate — a bucket with B members cost B redundant folds/vector
+    e = (
+        embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("bucket", signature_udf(n_planes, seed)(F.col("v")))
+        .withColumn("nrm", _norm(F.col("v")))
+    )
     q = e.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q"), F.col("bucket")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q"), F.col("bucket"),
+        F.col("nrm").alias("qnrm"),
     )
     cand = e.join(q, "bucket").where(F.col("vec_id") != F.col("query_id"))
-    cos = _dot(F.col("v"), F.col("q")) / (_norm(F.col("v")) * _norm(F.col("q")))
+    cos = _dot(F.col("v"), F.col("q")) / (F.col("nrm") * F.col("qnrm"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         cand.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
@@ -209,10 +229,22 @@ def cells_udf(n_cells: int, nprobe: int, seed: int = 11):
     def cells(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="object")
-        mat = np.stack(v.to_numpy())
-        scores = mat @ ivf_anchors(mat.shape[1], n_cells, seed).T
-        order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
-        return pd.Series([[int(c) for c in row] for row in order])
+        # same null/ragged policy as signature_udf: NULL cells, no crash
+        lens = {len(x) for x in v if x is not None}
+        if len(lens) == 1 and not any(x is None for x in v):
+            mat = np.stack(v.to_numpy())
+            scores = mat @ ivf_anchors(mat.shape[1], n_cells, seed).T
+            order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+            return pd.Series([[int(c) for c in row] for row in order])
+        out = []
+        dim = max(lens) if lens else 0
+        for x in v:
+            if x is None or len(x) != dim:
+                out.append(None)
+                continue
+            scores = np.asarray(x, dtype="float64") @ ivf_anchors(dim, n_cells, seed).T
+            out.append([int(c) for c in np.argsort(-scores, kind="stable")[:nprobe]])
+        return pd.Series(out, dtype="object")
 
     return cells
 
@@ -231,19 +263,22 @@ def ivf_topk(
     grows with nprobe — the classic quality/cost dial the brute-force
     baseline lacks. Everything shuffles by cell id: cells are the
     partition-pruning unit at 100 TB (one parquet partition per cell)."""
-    e = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("cell", F.element_at(cells_udf(n_cells, 1, seed)(F.col("v")), 1))
+    e = (
+        embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("cell", F.element_at(cells_udf(n_cells, 1, seed)(F.col("v")), 1))
+        .withColumn("nrm", _norm(F.col("v")))
+    )
     q = (
         e.where(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("q"),
+            F.col("nrm").alias("qnrm"),
             F.explode(cells_udf(n_cells, nprobe, seed)(F.col("v"))).alias("cell"),
         )
     )
     cand = e.join(q, "cell").where(F.col("vec_id") != F.col("query_id"))
-    cos = _dot(F.col("v"), F.col("q")) / (_norm(F.col("v")) * _norm(F.col("q")))
+    cos = _dot(F.col("v"), F.col("q")) / (F.col("nrm") * F.col("qnrm"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         cand.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))

@@ -108,18 +108,26 @@ def bpe_token_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
 
 
+def word_kgrams(toks: Column, k: int) -> Column:
+    """Word k-gram array over a token array — codegen-safe
+    sequence+transform (HOF-free alternatives exist but this stays in one
+    expression). Empty array below k tokens; callers layer their own
+    short-doc convention (dedup.shingles falls back to the whole text).
+    Shared by the minhash shingler and the repetition score so the two
+    k-gram definitions cannot drift."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - F.lit(k)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.when(F.size(toks) >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
 def ngram_repetition_ppm(col: Column, n: int = 3) -> Column:
     """Gopher-style repetition score: 1 − distinct/total word n-grams,
     in ppm (0 = no repetition). High values flag boilerplate/spam docs
     that near-dup passes miss because the repetition is INTERNAL."""
     toks = tokens(normalize_text(col))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = word_kgrams(toks, n)
     total = F.size(grams)
     distinct = F.size(F.array_distinct(grams))
     return F.when(total > 0, F.floor((1.0 - distinct / total) * 1_000_000).cast("long")).otherwise(
