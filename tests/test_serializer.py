@@ -90,3 +90,51 @@ def test_serializer_idempotent_bytes():
     rows2 = parse_document(text1)
     text2 = _serialize_py(rows2)
     assert text1 == text2
+
+
+def test_reference_display_form_parity(spark):
+    """Canonical line forms pinned against the reference's own __str__
+    unit tests — our distributed serializer must emit the same text
+    fastobo's Display impls print:
+      format-version   (reference tests/test_header.py:78)
+      date             (tests/test_header.py:146)
+      xref lists       (tests/test_xref.py:83-85 — ', ' separator)
+      qualifier blocks (tests/test_qualifier.py:76-78)
+      is_obsolete      (tests/common.py:158-159)
+      property_value   (tests/test_pv.py:105)
+    Also drives the multi-xref/multi-qualifier serialization through the
+    REAL Spark kernel (the path that once crashed on numpy truthiness).
+    """
+    from fastobo_py_spark.obo.serializer import serialize_documents
+    from fastobo_py_spark.operators.parse import parse_corpus, split_parsed
+    from fastobo_py_spark.schema import CORPUS_SCHEMA
+
+    content = (
+        "format-version: 1.2\n"
+        "date: 08:04:2019 16:51\n"
+        "\n"
+        "[Term]\n"
+        "id: MS:1000031\n"
+        'def: "an instrument" [ISBN:0321842685]\n'
+        'name: tuned {source="ISBN:0321842685", minCardinality="2"}\n'
+        'synonym: "multi xref" EXACT [A:1 "first", B:2]\n'
+        "is_obsolete: false\n"
+        "property_value: derived_from MS:1000031\n"
+        "\n"
+        "[Term]\n"
+        "id: MS:1000032\n"
+        "is_obsolete: true\n"
+    )
+    corpus = spark.createDataFrame([("r", "p.obo", "c", "OBO", content)], schema=CORPUS_SCHEMA)
+    clauses, quarantine = split_parsed(parse_corpus(corpus))
+    assert quarantine.count() == 0
+    text = serialize_documents(clauses).collect()[0]["obo_text"]
+    lines = text.splitlines()
+    assert "format-version: 1.2" in lines
+    assert "date: 08:04:2019 16:51" in lines
+    assert 'def: "an instrument" [ISBN:0321842685]' in lines
+    assert 'name: tuned {source="ISBN:0321842685", minCardinality="2"}' in lines
+    assert 'synonym: "multi xref" EXACT [A:1 "first", B:2]' in lines
+    assert "is_obsolete: false" in lines
+    assert "is_obsolete: true" in lines
+    assert "property_value: derived_from MS:1000031" in lines
