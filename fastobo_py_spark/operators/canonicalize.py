@@ -57,14 +57,19 @@ def replacement_map(clauses: DataFrame) -> DataFrame:
 
     Only hard redirects; ``consider`` is advisory (kept on nodes, not used
     to rewrite edges) per the reference's distinction.
-    Multi-valued replaced_by: pick the lexicographically first target —
-    deterministic, matching the "first declared wins" reading via
-    min(clause_ix).
+    Multi-valued replaced_by: first declared in DOCUMENT order wins —
+    min_by (frame_ix, clause_ix), the same tiebreak as alias_map (two
+    frames sharing a frame_id tie on clause_ix alone, and the oracle's
+    parse-order iteration keeps the earlier frame's target).
     """
     w = (
         clauses.where((F.col("tag") == "replaced_by") & (F.col("frame_id") != ""))
         .groupBy("doc_sha", F.col("frame_id").alias("obsolete_id"))
-        .agg(F.min_by("v1", "clause_ix").alias("replacement"))
+        .agg(
+            F.min_by(
+                "v1", F.struct(F.col("frame_ix"), F.col("clause_ix"))
+            ).alias("replacement")
+        )
     )
     return w
 
@@ -227,8 +232,10 @@ def combined_map_distributed(dims: DataFrame, max_hops: int = 3) -> DataFrame:
                             d["alias"][v1] = (fid, (fix, cix))
                     elif tag == "replaced_by":
                         cur = d["repl"].get(fid)
-                        if cur is None or cix < cur[1]:
-                            d["repl"][fid] = (v1, cix)  # min clause_ix: first declared wins
+                        if cur is None or (fix, cix) < cur[1]:
+                            # first declared in DOCUMENT order (same
+                            # tiebreak as alias handling above)
+                            d["repl"][fid] = (v1, (fix, cix))
                     elif tag == "equivalent_to":
                         d["pairs"].append((fid, v1))
                     elif tag == "xref":

@@ -42,9 +42,16 @@ def edge_case_exprs():
         .otherwise(t)
     )
     obj = F.when(t.isin("relationship", "intersection_of"), v2).otherwise(v1)
-    valid = F.when(t == "relationship", v1.isNotNull() & v2.isNotNull()).when(
-        t == "intersection_of", v2.isNotNull()
-    ).otherwise(v1.isNotNull())
+    # empty-string values are NOT edges: an empty ident is not a vertex
+    # (the lenient parser emits v1='' for `is_a: ` lines; the pure-Python
+    # oracle's truthiness check has always dropped them — isNotNull alone
+    # diverged on exactly those rows)
+    nonempty = lambda c: c.isNotNull() & (c != "")
+    valid = (
+        F.when(t == "relationship", nonempty(v1) & nonempty(v2))
+        .when(t == "intersection_of", nonempty(v2))
+        .otherwise(nonempty(v1))
+    )
     return pred, obj, valid
 
 

@@ -26,15 +26,16 @@ _SNIFF_RE = None
 
 
 def is_obo_row(row) -> bool:
-    """Same O1 predicate as operators.parse.is_obo_document."""
+    """Same O1 predicate as operators.parse.is_obo_document: line-anchored
+    format-version / frame header anywhere in the first 64 KB (the engine
+    moved off the bracket-free-prefix sniff; this mirror must track it or
+    the two sides select different document sets)."""
     global _SNIFF_RE
     if row.get("lang") == "OBO":
         return True
     if _SNIFF_RE is None:
-        _SNIFF_RE = re.compile(
-            r"\A\s*format-version:|\A[^\[]{0,4096}\n\[(Term|Typedef|Instance)\]", re.S
-        )
-    return bool(_SNIFF_RE.search(row["content"] or ""))
+        _SNIFF_RE = re.compile(r"^\s*(format-version:|\[(Term|Typedef|Instance)\])", re.M)
+    return bool(_SNIFF_RE.search((row.get("content") or "")[:65536]))
 
 
 def parse_rows(corpus_rows):
@@ -43,7 +44,20 @@ def parse_rows(corpus_rows):
     for r in corpus_rows:
         if not is_obo_row(r):
             continue
-        content = r["content"]
+        content = r.get("content")
+        if content is None and r.get("content_gz") is not None:
+            # the engine's gzip adapter path (parse.py kernel): corrupt
+            # payloads quarantine keyed on sha256 of the compressed bytes
+            import gzip
+
+            try:
+                content = gzip.decompress(bytes(r["content_gz"])).decode("utf-8")
+            except Exception as e:
+                sha = hashlib.sha256(bytes(r["content_gz"])).hexdigest()
+                quarantine.append((sha, r["repo"], r["path"], type(e).__name__, str(e), None))
+                continue
+        if content is None:
+            continue  # lang-tagged row with no payload: engine skips it too
         sha = hashlib.sha256(content.encode()).hexdigest()
         try:
             rows = parse_document(content)

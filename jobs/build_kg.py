@@ -33,8 +33,9 @@ if _ROOT not in sys.path:
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--corpus", help="parquet path (or Iceberg table path) of the repo corpus")
-    ap.add_argument("--synthetic", type=int, default=0, help="use N synthetic OBO docs instead of --corpus")
+    src_group = ap.add_mutually_exclusive_group(required=True)
+    src_group.add_argument("--corpus", help="parquet path (or Iceberg table path) of the repo corpus")
+    src_group.add_argument("--synthetic", type=int, default=0, help="use N synthetic OBO docs instead of --corpus")
     ap.add_argument("--out", required=True, help="output directory (nodes/edges/quarantine/_manifest)")
     ap.add_argument("--no-resume", action="store_true", help="ignore the manifest and reprocess everything")
     ap.add_argument("--no-canonicalize", action="store_true")
@@ -59,10 +60,8 @@ def main(argv: list[str] | None = None) -> int:
             from fastobo_py_spark.sources.corpus import corpus_df
 
             corpus = corpus_df(spark, n_obo=args.synthetic, n_noise=args.synthetic // 2)
-        elif args.corpus:
-            corpus = spark.read.parquet(args.corpus)
         else:
-            ap.error("one of --corpus or --synthetic is required")
+            corpus = spark.read.parquet(args.corpus)
 
         metrics = run_pipeline(
             spark,

@@ -83,7 +83,16 @@ def build_sf1(spark) -> None:
         # re-derived from the rotated text
         "documents": lambda df, i: df.withColumn(
             "text",
-            F.when(F.lit(i) == 0, F.col("text")).otherwise(
+            F.when(F.lit(i) == 0, F.col("text"))
+            .when(
+                # too short to rotate (rotation would be the identity and
+                # recreate byte-identical cross-copy clones): prefix a
+                # per-copy token instead — still deterministic, still a
+                # different shingle set per copy
+                F.expr(f"size(split(text, ' ')) <= {3 * i + 2}"),
+                F.concat(F.lit(f"copytok{i} "), F.col("text")),
+            )
+            .otherwise(
                 F.concat_ws(
                     " ",
                     F.flatten(F.array(
@@ -132,17 +141,30 @@ def main() -> None:
 
     bench.SF_DIR = SF1
 
-    if not os.path.isdir(os.path.join(SF1, "lineitem.parquet")):
+    # completion markers, not directory existence: a crash mid-build
+    # would otherwise leave a partial sf1/corpus that later runs silently
+    # bench against
+    sf1_done = os.path.join(SF1, "_BUILD_COMPLETE")
+    if not os.path.exists(sf1_done):
+        import shutil
+
+        shutil.rmtree(SF1, ignore_errors=True)
         print("building sf1 tables (10x key-shifted copies of sf0.1)…", flush=True)
         spark = get_spark(app_name="make-sf1", master="local[32]")
         build_sf1(spark)
         spark.stop()
+        open(sf1_done, "w").write("ok\n")
 
     n_obo, n_noise = 128_000, 2_000
-    if not os.path.isdir(CORPUS_DIR):
+    corpus_done = os.path.join(CORPUS_DIR, "_BUILD_COMPLETE")
+    if not os.path.exists(corpus_done):
+        import shutil
+
+        shutil.rmtree(CORPUS_DIR, ignore_errors=True)
         print(f"generating {n_obo + n_noise}-file corpus…", flush=True)
         t0 = time.time()
         corpus_to_parquet(CORPUS_DIR, n_obo=n_obo, n_noise=n_noise, n_files=512)
+        open(corpus_done, "w").write("ok\n")
         print(f"  corpus generated in {time.time() - t0:.0f}s", flush=True)
 
     print("bench at sf1…", flush=True)

@@ -30,6 +30,10 @@ def build_zip(out_path: str, root: str = _ROOT) -> str:
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
         for full, arc in entries:
             info = zipfile.ZipInfo(arc)  # fixed epoch timestamp → reproducible
+            # a bare ZipInfo defaults to ZIP_STORED and writestr honors it
+            # over the archive-level ZIP_DEFLATED — set it explicitly or
+            # the artifact ships uncompressed
+            info.compress_type = zipfile.ZIP_DEFLATED
             with open(full, "rb") as fh:
                 z.writestr(info, fh.read())
     return out_path

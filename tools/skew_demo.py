@@ -37,19 +37,25 @@ def main() -> None:
     edges.count()
     base = tempfile.mkdtemp(prefix="skew_demo_")
     try:
-        t0 = time.time()
-        edges.repartition("idspace").write.mode("overwrite").partitionBy("idspace").parquet(
-            f"{base}/unsalted"
-        )
-        t_unsalted = time.time() - t0
-        t0 = time.time()
-        with_salt(edges, "subj", 16).repartition("idspace", "salt").write.mode(
-            "overwrite"
-        ).partitionBy("idspace", "salt").parquet(f"{base}/salted")
-        t_salted = time.time() - t0
+        # warm the write path once (codegen + committer init would
+        # otherwise inflate whichever variant runs first), then alternate
+        # variants best-of-2 — the repo's bench convention
+        edges.limit(1000).write.mode("overwrite").parquet(f"{base}/warm")
+        t_unsalted, t_salted = float("inf"), float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            edges.repartition("idspace").write.mode("overwrite").partitionBy("idspace").parquet(
+                f"{base}/unsalted"
+            )
+            t_unsalted = min(t_unsalted, time.time() - t0)
+            t0 = time.time()
+            with_salt(edges, "subj", 16).repartition("idspace", "salt").write.mode(
+                "overwrite"
+            ).partitionBy("idspace", "salt").parquet(f"{base}/salted")
+            t_salted = min(t_salted, time.time() - t0)
         print(
             f"unsalted: {t_unsalted:.2f}s  salted: {t_salted:.2f}s  "
-            f"speedup: {t_unsalted / t_salted:.2f}x  (90% hub, local[16])"
+            f"speedup: {t_unsalted / t_salted:.2f}x  (90% hub, local[16], best of 2, warmed)"
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
