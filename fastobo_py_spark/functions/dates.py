@@ -20,8 +20,13 @@ from pyspark.sql import functions as F
 
 
 def parse_header_date(col: Column) -> Column:
-    """``DD:MM:YYYY HH:MM`` → timestamp (header DateClause)."""
-    return F.to_timestamp(col, "dd:MM:yyyy HH:mm")
+    """``DD:MM:YYYY HH:MM`` → timestamp (header DateClause).
+
+    try_to_timestamp, NOT to_timestamp: under ANSI mode (default in
+    Spark 4) a regex-valid but calendar-invalid value ('30:02:2021 …')
+    would otherwise throw and kill the whole stage — the contract here is
+    quarantine/NULL, never fail the job."""
+    return F.try_to_timestamp(col, F.lit("dd:MM:yyyy HH:mm"))
 
 
 def format_header_date(col: Column) -> Column:
@@ -55,8 +60,13 @@ def parse_creation_date(col: Column) -> Column:
     original offset).
     """
     kind = creation_date_kind(col)
+    # normalize BOTH separators the kind regex accepts: [Tt] → space and a
+    # lowercase z suffix → Z (the cast only understands uppercase); and
+    # try_to_timestamp so calendar-invalid values ('2021-02-30') yield
+    # NULL instead of an ANSI DateTimeException killing the node build
+    norm = F.regexp_replace(F.regexp_replace(col, "[Tt]", " "), "z$", "Z")
     return (
-        F.when(kind == "date", F.to_timestamp(col, "yyyy-MM-dd"))
-        .when(kind == "datetime", F.to_timestamp(F.regexp_replace(col, "[Tt]", " ")))
-        .when(kind == "datetime_tz", F.to_timestamp(F.regexp_replace(col, "[Tt]", " ")))
+        F.when(kind == "date", F.try_to_timestamp(col, F.lit("yyyy-MM-dd")))
+        .when(kind == "datetime", F.try_to_timestamp(norm))
+        .when(kind == "datetime_tz", F.try_to_timestamp(norm))
     )

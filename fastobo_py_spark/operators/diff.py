@@ -37,16 +37,26 @@ def frame_change_summary(old_clauses: DataFrame, new_clauses: DataFrame) -> Data
         # losing a PAIR of identical clause lines can no longer cancel out
         # of a plain xor, and scope/xref-only edits are visible.
         ent = clauses.where((F.col("frame_type") != "Header") & (F.col("frame_id") != ""))
+
+        def slot(c):
+            # xxhash64 SKIPS null inputs, so NULL and '' would hash the
+            # same under a bare coalesce — carry an explicit null flag so
+            # a NULL↔'' edit reads as a modification
+            return [F.isnull(c).cast("int"), F.coalesce(c, F.lit(""))]
+
         row_hash = F.xxhash64(
+            # frame_type participates: a Term↔Typedef conversion with an
+            # identical clause payload is a real semantic change
+            "frame_type",
             "tag",
-            F.coalesce("v1", F.lit("")),
-            F.coalesce("v2", F.lit("")),
-            F.coalesce("value_text", F.lit("")),
-            F.coalesce("scope", F.lit("")),
-            F.coalesce("datatype", F.lit("")),
-            F.coalesce("comment", F.lit("")),
-            F.coalesce(F.to_json("xrefs"), F.lit("")),
-            F.coalesce(F.to_json("qualifiers"), F.lit("")),
+            *slot(F.col("v1")),
+            *slot(F.col("v2")),
+            *slot(F.col("value_text")),
+            *slot(F.col("scope")),
+            *slot(F.col("datatype")),
+            *slot(F.col("comment")),
+            *slot(F.to_json("xrefs")),
+            *slot(F.to_json("qualifiers")),
         )
         per_clause = ent.groupBy(F.col("frame_id").alias("id"), row_hash.alias("rh")).agg(
             F.count("*").alias("n")

@@ -53,4 +53,9 @@ def bucketed_join(
     exchange-free when both were written via :func:`write_bucketed` with
     the same ``n_buckets``."""
     lt, rt = spark.table(left_table), spark.table(right_table)
-    return lt.join(rt, lt[left_on] == rt[right_on or left_on], how=how)
+    if right_on is None or right_on == left_on:
+        # name-form join: dedups the shared key column (the expression
+        # form kept TWO identically-named key columns, so any later
+        # reference to the key raised AMBIGUOUS_REFERENCE)
+        return lt.join(rt, left_on, how=how)
+    return lt.join(rt, lt[left_on] == rt[right_on], how=how)

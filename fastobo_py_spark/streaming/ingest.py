@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from fastobo_py_spark.operators.parse import parse_corpus, split_parsed
+from fastobo_py_spark.operators.parse import parse_corpus
 from fastobo_py_spark.schema import CORPUS_SCHEMA
 
 
@@ -38,7 +38,9 @@ def run_stream_to_parquet(
     checkpoint_dir: str,
     available_now: bool = True,
 ):
-    """Materialize the stream into clause/quarantine parquet sinks.
+    """Materialize the parsed stream into ONE parquet sink (clause and
+    quarantine rows together, distinguished by the is_error column —
+    split_parsed is a downstream reader concern here).
 
     ``availableNow`` processes the current backlog then stops — the
     batch-equivalent trigger used in tests; a production deployment drops

@@ -20,7 +20,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from fastobo_py_spark.operators.materialize import build_nodes, with_salt
 from fastobo_py_spark.operators.parse import parse_corpus, split_parsed
@@ -31,25 +30,32 @@ from fastobo_py_spark.schema import CORPUS_SCHEMA
 def _process_batch(out_dir: str, n_salts: int):
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        parsed = parse_corpus(batch_df).persist()
-        clauses, quarantine = split_parsed(parsed)
-        quarantine.write.mode("append").parquet(os.path.join(out_dir, "quarantine"))
-        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        clauses = clauses.repartition(n_shuffle, "doc_sha").persist()
-        # collect canonical_edges' internal caches: a continuous stream
-        # re-enters this fn every micro-batch, and un-released caches
-        # would accumulate in the CacheManager until executor OOM
+        # collect every persist for the finally block: a continuous stream
+        # re-enters this fn every micro-batch, and a FAILED batch (write
+        # error, lost executor) that raised past plain unpersist calls
+        # would strand ~5 relations per retry in the CacheManager until
+        # executor OOM — exactly the leak this bookkeeping exists to stop
         caches: list[DataFrame] = []
-        edges = canonical_edges(clauses, strategy="shuffle_hash", persisted_out=caches)
-        nodes = build_nodes(clauses)
-        nodes.write.mode("append").partitionBy("idspace").parquet(os.path.join(out_dir, "nodes"))
-        with_salt(edges, "subj", n_salts).write.mode("append").partitionBy("idspace", "salt").parquet(
-            os.path.join(out_dir, "edges")
-        )
-        for c in caches:
-            c.unpersist()
-        clauses.unpersist()
-        parsed.unpersist()
+        try:
+            parsed = parse_corpus(batch_df).persist()
+            caches.append(parsed)
+            clauses, quarantine = split_parsed(parsed)
+            quarantine.write.mode("append").parquet(os.path.join(out_dir, "quarantine"))
+            n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            clauses = clauses.repartition(n_shuffle, "doc_sha").persist()
+            caches.append(clauses)
+            edges = canonical_edges(clauses, strategy="shuffle_hash", persisted_out=caches)
+            nodes = build_nodes(clauses)
+            nodes.write.mode("append").partitionBy("idspace").parquet(os.path.join(out_dir, "nodes"))
+            with_salt(edges, "subj", n_salts).write.mode("append").partitionBy("idspace", "salt").parquet(
+                os.path.join(out_dir, "edges")
+            )
+        finally:
+            for c in caches:
+                try:
+                    c.unpersist()
+                except Exception:
+                    pass  # session already torn down mid-failure
 
     return fn
 

@@ -72,18 +72,24 @@ def _user_totals_fn(
     across micro-batches. Values carried as e4-fixed-point integers so the
     state is exact (float state would drift across accumulation orders)."""
     n, s, last = state.get if state.exists else (0, 0, 0)
+    from decimal import ROUND_HALF_UP, Decimal
+
     for pdf in batches:
         n += len(pdf)
         # per-ROW fixed-point rounding: batching-invariant, so the result
-        # is identical however the stream is micro-batched. HALF_UP (away
-        # from zero), matching Spark's F.round in the batch mirror —
-        # pandas .round() is banker's half-even and diverges on exact
-        # .5e-4 boundaries.
-        # F.sum in the batch mirror ignores nulls; a NaN here would
-        # otherwise cast to INT64_MIN and permanently corrupt the state
+        # is identical however the stream is micro-batched. EXACT decimal
+        # HALF_UP via Decimal(repr(v)) — Spark's F.round(double) goes
+        # through BigDecimal.valueOf (the shortest decimal repr, same as
+        # Python repr), so this matches the batch mirror bit-for-bit;
+        # the earlier float trick floor(|v|*1e4 + 0.5) diverged on binary
+        # boundary doubles where the +0.5 itself rounded.
+        # F.sum in the batch mirror ignores nulls; a NaN would otherwise
+        # cast to INT64_MIN and permanently corrupt the state.
         v = pdf["value"].to_numpy(dtype="float64")
         v = v[~np.isnan(v)]
-        s += int((np.floor(np.abs(v) * 10_000 + 0.5) * np.sign(v)).astype("int64").sum())
+        s += sum(
+            int(Decimal(repr(float(x))).scaleb(4).to_integral_value(ROUND_HALF_UP)) for x in v
+        )
         if len(pdf):
             last = max(last, int(pdf["ts"].astype("int64").max()) // 1000)  # ns → µs
     state.update((n, s, last))
