@@ -86,3 +86,30 @@ def test_parse_tagged_lines_never_crash(tags, payload):
         parse_document(body)
     except ParseError:
         pass
+
+
+@given(tricky)
+@settings(max_examples=300, deadline=None)
+def test_unquoted_value_line_roundtrip_with_comment(s):
+    """The full-line invariant the round-4 escape fix guards: an escaped
+    raw-text value followed by a comment must reparse to exactly (value,
+    comment) — a raw '\"' or '[' in the payload used to open a structural
+    region and swallow the comment."""
+    from fastobo_py_spark.obo import grammar as g
+    from fastobo_py_spark.obo.parser import ParseError, parse_document
+
+    if "\n" in s:
+        s = s.replace("\n", " ")
+    doc = f"format-version: 1.2\n\n[Term]\nid: T:1\nname: {g.escape_unquoted(s)} ! note\n"
+    try:
+        rows = parse_document(doc)
+    except ParseError:
+        return  # quarantine is an acceptable outcome for degenerate values
+    name = [r for r in rows if r[4] == "name"]
+    if not name:
+        return
+    value_text, comment = name[0][7], name[0][10]
+    stripped = s.strip()
+    if stripped:
+        assert comment == "note"
+        assert (value_text or "").strip() == stripped
