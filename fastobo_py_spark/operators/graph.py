@@ -20,6 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# compact the BFS seen-set union into one checkpointed frame once this
+# many per-depth frames accumulate (see ancestors_of): bounds anti-join
+# plan width on deep graphs, amortizes the re-copy to depth/K collapses
+_SEEN_COMPACT_EVERY = 8
+
 
 def transitive_ancestors(
     edges: DataFrame, pred: str = "is_a", max_iter: int = 25
@@ -106,7 +111,11 @@ def ancestors_of(
     # their LAZY union — checkpointing the accumulated union each round
     # would re-materialize every earlier depth's rows per iteration
     # (O(depth × |closure|) copy work for nothing: the frames are already
-    # materialized)
+    # materialized). To keep the anti-join plan from growing one union
+    # branch per depth on deep corpora, the list is COMPACTED into a
+    # single checkpointed frame every _SEEN_COMPACT_EVERY rounds: plan
+    # width stays bounded while the re-copy cost is amortized to
+    # O(|closure| × depth / K) instead of per-round.
     frames = [result]
     frontier = result
 
@@ -134,6 +143,11 @@ def ancestors_of(
         if new.limit(1).count() == 0:
             break
         frames.append(new)
+        if len(frames) >= _SEEN_COMPACT_EVERY:
+            merged = frames[0]
+            for f in frames[1:]:
+                merged = merged.unionByName(f)
+            frames = [merged.localCheckpoint(eager=True)]
         frontier = new
     out = frames[0]
     for f in frames[1:]:

@@ -146,6 +146,22 @@ def hyperplane_weights(dim: int, n_planes: int, seed: int = 7) -> "np.ndarray":
     return np.random.RandomState(seed).standard_normal((dim, n_planes))
 
 
+def _ragged_ref_dim(lens) -> int:
+    """Reference dim for a ragged Arrow batch: the MOST FREQUENT non-null
+    row length (ties broken toward the smaller dim, deterministically).
+    ``max(lens)`` would let a single over-length malformed vector
+    NULL-bucket every normal-dim vector that happens to share its Arrow
+    batch — bucket assignment would depend on batch boundaries and
+    diverge from the brute-force path, which only nulls the bad row's
+    cosine. The modal length confines NULLs to the malformed rows."""
+    from collections import Counter
+
+    counts = Counter(lens)
+    if not counts:
+        return 0
+    return max(counts.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+
+
 def signature_udf(n_planes: int, seed: int = 7):
     """pandas UDF: array<double> embedding → '0101...' sign-bit string.
 
@@ -168,7 +184,7 @@ def signature_udf(n_planes: int, seed: int = 7):
             bits = mat @ hyperplane_weights(mat.shape[1], n_planes, seed) >= 0
             return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
         out = []
-        dim = max(lens) if lens else 0
+        dim = _ragged_ref_dim(len(x) for x in v if x is not None)
         for x in v:
             if x is None or len(x) != dim:
                 out.append(None)
@@ -237,7 +253,7 @@ def cells_udf(n_cells: int, nprobe: int, seed: int = 11):
             order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
             return pd.Series([[int(c) for c in row] for row in order])
         out = []
-        dim = max(lens) if lens else 0
+        dim = _ragged_ref_dim(len(x) for x in v if x is not None)
         for x in v:
             if x is None or len(x) != dim:
                 out.append(None)

@@ -454,6 +454,25 @@ def _compact_tmp_root(out_dir: str) -> str:
     return os.path.join(out_dir, "_compact_tmp")
 
 
+# Leaf-path encoding for _compact_tmp entries. quote(rel, safe="") is
+# injective: '%' itself is encoded, so a partition VALUE containing
+# Spark's own %2F escape (idspace 'a/b' writes the leaf dir idspace=a%2Fb)
+# round-trips exactly instead of being restored as nested a/b dirs.
+_OLD_SUFFIX = "%old"  # impossible in quote() output: '%' is always + 2 hex
+
+
+def _enc_leaf(rel: str) -> str:
+    from urllib.parse import quote
+
+    return quote(rel, safe="")
+
+
+def _dec_leaf(name: str) -> str:
+    from urllib.parse import unquote
+
+    return unquote(name)
+
+
 def recover_output_compactions(out_dir: str) -> int:
     """Crash recovery for :func:`compact_outputs`: restore any leaf whose
     swap was interrupted. Preference order — a fully-committed compacted
@@ -464,13 +483,13 @@ def recover_output_compactions(out_dir: str) -> int:
         return 0
     restored = 0
     for name in sorted(os.listdir(tmp_root)):
-        if name.endswith(".old"):
+        if name.endswith(_OLD_SUFFIX):
             continue
         tmp = os.path.join(tmp_root, name)
-        leaf = os.path.join(out_dir, name.replace("%2F", os.sep))
+        leaf = os.path.join(out_dir, _dec_leaf(name))
         if os.path.isdir(leaf):
             continue  # swap completed; leftover tmp is cleaned below
-        src = tmp if os.path.exists(os.path.join(tmp, "_SUCCESS")) else tmp + ".old"
+        src = tmp if os.path.exists(os.path.join(tmp, "_SUCCESS")) else tmp + _OLD_SUFFIX
         if os.path.isdir(src):
             os.makedirs(os.path.dirname(leaf), exist_ok=True)
             os.rename(src, leaf)
@@ -520,11 +539,11 @@ def compact_outputs(
             n_bytes = sum(os.path.getsize(os.path.join(leaf, f)) for f in parts)
             n_out = max(1, (n_bytes + target_bytes - 1) // target_bytes)
             rel = os.path.relpath(leaf, out_dir)
-            enc = rel.replace(os.sep, "%2F")
+            enc = _enc_leaf(rel)
             tmp = os.path.join(tmp_root, enc)
             shutil.rmtree(tmp, ignore_errors=True)
             spark.read.parquet(leaf).repartition(n_out).write.mode("overwrite").parquet(tmp)
-            old = tmp + ".old"
+            old = tmp + _OLD_SUFFIX
             shutil.rmtree(old, ignore_errors=True)
             os.rename(leaf, old)
             os.rename(tmp, leaf)

@@ -140,7 +140,7 @@ BUCKET_STATE = T.StructType(
 
 
 def _py_normalize(text: str) -> str:
-    """Python mirror of operators/text.normalize_text, EXACT: Spark trim
+    r"""Python mirror of operators/text.normalize_text, EXACT: Spark trim
     strips ASCII spaces only, Java \s is ASCII ([ \t\n\x0B\f\r]) —
     Python's default Unicode-wide strip()/\s would normalize (and
     therefore shingle) differently and break stream/batch parity.

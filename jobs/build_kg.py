@@ -35,7 +35,7 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     src_group = ap.add_mutually_exclusive_group(required=True)
     src_group.add_argument("--corpus", help="parquet path (or Iceberg table path) of the repo corpus")
-    src_group.add_argument("--synthetic", type=int, default=0, help="use N synthetic OBO docs instead of --corpus")
+    src_group.add_argument("--synthetic", type=int, default=None, help="use N synthetic OBO docs instead of --corpus")
     ap.add_argument("--out", required=True, help="output directory (nodes/edges/quarantine/_manifest)")
     ap.add_argument("--no-resume", action="store_true", help="ignore the manifest and reprocess everything")
     ap.add_argument("--no-canonicalize", action="store_true")
@@ -50,13 +50,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="rewrite a leaf once it holds more parquet parts than this")
     ap.add_argument("--master", default=None, help="override master (defaults to local[$SPARK_GRAFT_CPUS])")
     args = ap.parse_args(argv)
+    if args.synthetic is not None and args.synthetic <= 0:
+        ap.error("--synthetic must be a positive document count")
 
     from fastobo_py_spark.plans.pipeline import compact_outputs, run_pipeline
     from fastobo_py_spark.session import get_spark
 
     spark = get_spark(app_name="fastobo-build-kg", master=args.master)
     try:
-        if args.synthetic:
+        if args.synthetic is not None:
             from fastobo_py_spark.sources.corpus import corpus_df
 
             corpus = corpus_df(spark, n_obo=args.synthetic, n_noise=args.synthetic // 2)

@@ -483,3 +483,49 @@ def test_cosine_udf_edge_semantics(spark):
     # HOF agreement on the same frame (norm side; dot nulls already pinned)
     hof = {r["id"]: r["nh"] for r in df.select("id", _norm_hof(F.col("a")).alias("nh")).collect()}
     assert {k: v[0] for k, v in got.items()} == hof
+
+
+def test_ragged_batch_malformed_row_is_isolated(spark):
+    """One over-length malformed vector in a batch must NOT null-bucket
+    the normal-dim vectors sharing its Arrow batch (ADVICE r4): the
+    reference dim is the batch's modal length, so only the malformed row
+    gets a NULL bucket / NULL cells."""
+    from fastobo_py_spark.operators.similarity import (
+        _ragged_ref_dim,
+        cells_udf,
+        signature_udf,
+    )
+
+    assert _ragged_ref_dim([4, 4, 4, 7]) == 4
+    assert _ragged_ref_dim([4, 7]) == 4  # tie -> smaller dim, deterministic
+    assert _ragged_ref_dim([]) == 0
+
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(6)]
+    rows.append((6, [1.0] * 7))  # malformed: over-length
+    rows.append((7, None))  # malformed: null
+    df = spark.createDataFrame(rows, "vec_id int, v array<double>").coalesce(1)
+    got = {
+        r["vec_id"]: (r["b"], r["c"])
+        for r in df.select(
+            "vec_id",
+            signature_udf(4)(F.col("v")).alias("b"),
+            cells_udf(8, 2)(F.col("v")).alias("c"),
+        ).collect()
+    }
+    for i in range(6):
+        assert got[i][0] is not None and got[i][1] is not None
+    assert got[6] == (None, None)
+    assert got[7] == (None, None)
+    # and the normal rows' buckets equal the ones from a clean batch
+    clean = {
+        r["vec_id"]: (r["b"], r["c"])
+        for r in spark.createDataFrame(rows[:6], "vec_id int, v array<double>")
+        .coalesce(1)
+        .select(
+            "vec_id",
+            signature_udf(4)(F.col("v")).alias("b"),
+            cells_udf(8, 2)(F.col("v")).alias("c"),
+        )
+        .collect()
+    }
+    assert all(got[i] == clean[i] for i in range(6))

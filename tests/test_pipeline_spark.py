@@ -497,6 +497,27 @@ def test_ancestors_of_seeded_min_depth(spark):
     assert (d1, "s", "s") not in got and (d1, "x", "y") not in got
 
 
+def test_ancestors_of_deep_chain_seen_compaction(spark):
+    """A 20-deep chain crosses the seen-set compaction threshold twice
+    (_SEEN_COMPACT_EVERY=8): results must be identical to the naive
+    expectation — every depth present exactly once with the right
+    min_depth — and a revisiting shortcut edge must still be anti-joined
+    away after compaction."""
+    from fastobo_py_spark.operators.graph import _SEEN_COMPACT_EVERY, ancestors_of
+
+    assert _SEEN_COMPACT_EVERY <= 10  # the chain below must trigger it
+    d = "C" * 64
+    depth = 20
+    rows = [(d, f"n{i}", "is_a", f"n{i+1}") for i in range(depth)]
+    # shortcut that RE-discovers n5 late (via the far end): must stay depth 5
+    rows.append((d, f"n{depth}", "is_a", "n5"))
+    e = spark.createDataFrame(rows, "doc_sha string, subj string, pred string, obj string")
+    seeds = spark.createDataFrame([("n0",)], "id string")
+    got = {r["ancestor"]: r["min_depth"] for r in ancestors_of(e, seeds).collect()}
+    assert len(got) == depth  # n1..n20, each exactly once
+    assert all(got[f"n{i}"] == i for i in range(1, depth + 1))
+
+
 def test_manifest_compaction_preserves_resume(spark, corpus):
     """O19 compaction: force a rewrite (threshold 0) after a half-run,
     assert the manifest collapsed to the target part count, and that
@@ -637,7 +658,9 @@ def test_output_compaction_crash_recovery(spark, corpus):
     import os
 
     from fastobo_py_spark.plans.pipeline import (
+        _OLD_SUFFIX,
         _compact_tmp_root,
+        _enc_leaf,
         _leaf_part_dirs,
         compact_outputs,
         recover_output_compactions,
@@ -649,7 +672,7 @@ def test_output_compaction_crash_recovery(spark, corpus):
         run_pipeline(spark, corpus, out, canonicalize=False)
         n0 = spark.read.parquet(f"{out}/nodes").count()
         leaf = _leaf_part_dirs(f"{out}/nodes")[0]
-        rel = os.path.relpath(leaf, out).replace(os.sep, "%2F")
+        rel = _enc_leaf(os.path.relpath(leaf, out))
         tmp_root = _compact_tmp_root(out)
         os.makedirs(tmp_root, exist_ok=True)
 
@@ -661,13 +684,62 @@ def test_output_compaction_crash_recovery(spark, corpus):
         assert spark.read.parquet(f"{out}/nodes").count() == n0
 
         # case 2: copy NOT committed (no _SUCCESS), original displaced → restore original
-        os.rename(leaf, os.path.join(tmp_root, rel + ".old"))
+        os.rename(leaf, os.path.join(tmp_root, rel + _OLD_SUFFIX))
         os.makedirs(os.path.join(tmp_root, rel), exist_ok=True)  # uncommitted stub
         assert recover_output_compactions(out) == 1
         assert spark.read.parquet(f"{out}/nodes").count() == n0
         # a full compact_outputs pass runs recovery first and stays green
         compact_outputs(spark, out, max_parts=10_000)
         assert spark.read.parquet(f"{out}/nodes").count() == n0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_output_compaction_recovery_slash_partition_value(spark):
+    """A partition VALUE containing '/' is written by Spark as %2F in the
+    leaf dir name (idspace=a%2Fb). The tmp-leaf encoding must not collide
+    with that escape: after a crash mid-swap the leaf must be restored to
+    the ORIGINAL %2F dir, not exploded into nested idspace=a/b dirs
+    (ADVICE r4)."""
+    import os
+
+    from fastobo_py_spark.plans.pipeline import (
+        _compact_tmp_root,
+        _enc_leaf,
+        _leaf_part_dirs,
+        recover_output_compactions,
+    )
+
+    out = tempfile.mkdtemp(prefix="kg_slashpart_")
+    try:
+        df = spark.createDataFrame(
+            [("a/b", 1), ("a/b", 2), ("plain", 3)], "idspace string, x int"
+        )
+        df.write.partitionBy("idspace").parquet(f"{out}/nodes")
+        leaves = _leaf_part_dirs(f"{out}/nodes")
+        slash_leaf = [l for l in leaves if "%2F" in os.path.basename(l)]
+        assert slash_leaf, f"expected a %2F-escaped leaf, got {leaves}"
+        leaf = slash_leaf[0]
+        rel = _enc_leaf(os.path.relpath(leaf, out))
+        assert rel != os.path.relpath(leaf, out).replace(os.sep, "%2F"), (
+            "encoding must distinguish a path separator from a literal %2F"
+        )
+        tmp_root = _compact_tmp_root(out)
+        os.makedirs(tmp_root, exist_ok=True)
+        n0 = spark.read.parquet(f"{out}/nodes").count()
+        # simulate crash: committed compacted copy in tmp, leaf renamed away
+        spark.read.parquet(leaf).repartition(1).write.parquet(os.path.join(tmp_root, rel))
+        import shutil as _sh
+
+        _sh.rmtree(leaf)
+        assert recover_output_compactions(out) == 1
+        assert os.path.isdir(leaf), "leaf must be restored at its escaped path"
+        assert not os.path.isdir(os.path.join(out, "nodes", "idspace=a")), (
+            "must not create nested idspace=a/b dirs"
+        )
+        assert spark.read.parquet(f"{out}/nodes").count() == n0
+        got = {r["idspace"] for r in spark.read.parquet(f"{out}/nodes").select("idspace").distinct().collect()}
+        assert got == {"a/b", "plain"}
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
