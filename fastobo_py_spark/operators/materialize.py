@@ -88,6 +88,44 @@ def top_k_per_idspace(nodes: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def canonical_node_view(clauses: DataFrame) -> DataFrame:
+    """Corpus-level canonical node view: ONE row per canonical id ACROSS
+    all documents/ontology versions.
+
+    Per-document node/equivalence scope faithfully mirrors the
+    reference's per-document rewrites (``/root/reference/src/py/doc.rs``),
+    but the corpus-level KG user question — "show me this term across
+    every ontology version in the lake" — needs one more hop: rewrite
+    each document's node ids through its own canonicalization map, then
+    aggregate across documents.
+
+    Scale shape: the map is a dim table (alias/obsolete/equivalence
+    members only — KB–MB even for GO); nodes is the big side. The join
+    keys on (doc_sha, id) and the final aggregate is one hash exchange on
+    ``canonical_id``; name/obsolete/alt summaries are all order-independent
+    (min / any / distinct-size), so the result is deterministic under any
+    partitioning."""
+    from fastobo_py_spark.operators.canonicalize import combined_map_distributed
+    from fastobo_py_spark.operators.hints import gated_broadcast
+
+    nodes = build_nodes(clauses)
+    cmap = gated_broadcast(
+        combined_map_distributed(clauses).select(
+            F.col("doc_sha").alias("__md"), F.col("old").alias("__mo"), F.col("new").alias("__mn")
+        )
+    )
+    n = nodes.join(
+        cmap, (nodes["doc_sha"] == F.col("__md")) & (nodes["id"] == F.col("__mo")), "left"
+    ).withColumn("canonical_id", F.coalesce(F.col("__mn"), F.col("id")))
+    return n.groupBy("canonical_id").agg(
+        F.countDistinct("doc_sha").alias("n_docs"),
+        F.countDistinct("id").alias("n_source_ids"),
+        F.min("name").alias("name"),
+        F.max(F.col("obsolete")).alias("ever_obsolete"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("alt_ids")))).alias("n_alt_ids"),
+    )
+
+
 def with_salt(df: DataFrame, key: str = "obj", n_salts: int = 16) -> DataFrame:
     """O18: deterministic salt for skewed hub keys.
 

@@ -204,6 +204,77 @@ def build_edges(corpus_rows, canonicalize=True, apply_macros=True):
     return sorted(all_edges)
 
 
+def build_canonical_maps(corpus_rows, max_hops=3):
+    """corpus rows → {doc_sha: {old_id: canonical_id}} — the pure-Python
+    mirror of ``canonicalize.combined_map_distributed`` (alias/obsolete
+    resolution composed with min-representative equivalence components,
+    per document). Written independently of :func:`build_edges`'s inline
+    canonicalization on purpose: a third implementation of the same
+    semantics cross-checks both."""
+    clauses, _ = parse_rows(corpus_rows)
+    by_doc = defaultdict(list)
+    for c in clauses:
+        by_doc[c[0]].append(c)
+
+    tag_ix, v1_ix = 3 + _IX["tag"], 3 + _IX["v1"]
+    fid_ix, ftype_ix = 3 + _IX["frame_id"], 3
+    fix_ix, cix_ix = 3 + _IX["frame_ix"], 3 + _IX["clause_ix"]
+
+    maps = {}
+    for sha, rows in by_doc.items():
+        alias, repl, pairs, xrefs, spaces = {}, {}, [], [], set()
+        for r in rows:
+            v1 = r[v1_ix]
+            if v1 is None:
+                continue
+            tag, fid = r[tag_ix], r[fid_ix]
+            order = (r[fix_ix], r[cix_ix])
+            if r[ftype_ix] == "Header":
+                if tag == "treat-xrefs-as-equivalent":
+                    spaces.add(v1)
+            elif fid:
+                if tag == "alt_id":
+                    if v1 not in alias or order < alias[v1][1]:
+                        alias[v1] = (fid, order)
+                elif tag == "replaced_by":
+                    if fid not in repl or order < repl[fid][1]:
+                        repl[fid] = (v1, order)
+                elif tag == "equivalent_to":
+                    pairs.append((fid, v1))
+                elif tag == "xref":
+                    xrefs.append((fid, v1))
+        repl = {k: v[0] for k, v in repl.items()}
+        res = {k: v[0] for k, v in alias.items()}
+        for k in repl:
+            res.setdefault(k, k)
+        for _ in range(max_hops):
+            for k in res:
+                res[k] = repl.get(res[k], res[k])
+        res = {k: v for k, v in res.items() if k != v}
+
+        if spaces:
+            pairs = pairs + [(fid, x) for fid, x in xrefs if _prefix(x) in spaces]
+        uf = _UnionFind()
+        verts = set()
+        for a, b in pairs:
+            a, b = res.get(a, a), res.get(b, b)
+            verts.add(a)
+            verts.add(b)
+            uf.union(a, b)
+        comp = {v: uf.find(v) for v in verts}
+
+        m = {}
+        for old, new in res.items():
+            final = comp.get(new, new)
+            if old != final:
+                m[old] = final
+        for v, c in comp.items():
+            if v not in res and v != c:
+                m[v] = c
+        maps[sha] = m
+    return maps
+
+
 def edge_key_set(edges):
     """(subj, pred, obj, doc_sha) set for P/R comparison."""
     return {(s, p, o, sha) for s, p, o, _, sha in edges}

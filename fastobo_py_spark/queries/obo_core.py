@@ -377,6 +377,67 @@ QUERIES["obo_hub_degrees"] = q_obo_hub_degrees
 
 
 # ---------------------------------------------------------------------------
+def q_obo_canonical_nodes(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document canonical node view (VERDICT r4): one row per
+    canonical id across every ontology version in the corpus — each
+    document's node ids rewritten through its own fused canonicalization
+    map, then aggregated corpus-wide."""
+    from fastobo_py_spark.operators.materialize import canonical_node_view
+
+    return canonical_node_view(_clauses(spark)).orderBy("canonical_id")
+
+
+def sql_obo_canonical_nodes() -> str:
+    from collections import defaultdict
+
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    rows = generate_corpus(**_CORPUS_KW)
+    clauses, _ = oracle.parse_rows(rows)
+    maps = oracle.build_canonical_maps(rows)
+
+    # per-(doc, frame) node attrs, mirroring build_nodes' aggregates
+    ix = oracle._IX
+    frames: dict = {}
+    for c in clauses:
+        sha, ftype, fid = c[0], c[3], c[3 + ix["frame_id"]]
+        if ftype == "Header" or not fid:
+            continue
+        f = frames.setdefault((sha, fid), {"names": [], "obs": False, "alt": set()})
+        tag, v1, vt = c[3 + ix["tag"]], c[3 + ix["v1"]], c[3 + ix["value_text"]]
+        if tag == "name" and vt is not None:
+            f["names"].append(vt)
+        elif tag == "is_obsolete" and v1 == "true":
+            f["obs"] = True
+        elif tag == "alt_id" and v1 is not None:
+            f["alt"].add(v1)
+
+    agg = defaultdict(lambda: {"docs": set(), "ids": set(), "names": [], "obs": False, "alt": set()})
+    for (sha, fid), f in frames.items():
+        canon = maps.get(sha, {}).get(fid, fid)
+        a = agg[canon]
+        a["docs"].add(sha)
+        a["ids"].add(fid)
+        a["names"].extend(f["names"])
+        a["obs"] = a["obs"] or f["obs"]
+        a["alt"] |= f["alt"]
+    out = [
+        (
+            cid,
+            len(a["docs"]),
+            len(a["ids"]),
+            min(a["names"]) if a["names"] else None,
+            a["obs"],
+            len(a["alt"]),
+        )
+        for cid, a in sorted(agg.items())
+    ]
+    return _values_sql(
+        out, ["canonical_id", "n_docs", "n_source_ids", "name", "ever_obsolete", "n_alt_ids"]
+    )
+
+
 # Round-2 additions: oracle coverage for the formerly pytest-only operators
 # (O12 frame dicts, O19 resume, graph-JSON meta round-trip, typed dates,
 # missing-clause audit, ident validity).
@@ -390,6 +451,7 @@ QUERIES.update(
         "obo_frame_stats": q_obo_frame_stats,
         "obo_obsolete_nodes": q_obo_obsolete_nodes,
         "obo_mention_dict": q_obo_mention_dict,
+        "obo_canonical_nodes": q_obo_canonical_nodes,
     }
 )
 _GENERATED_ORACLES.update(
@@ -399,6 +461,7 @@ _GENERATED_ORACLES.update(
         "obo_frame_stats": sql_obo_frame_stats,
         "obo_obsolete_nodes": sql_obo_obsolete_nodes,
         "obo_mention_dict": sql_obo_mention_dict,
+        "obo_canonical_nodes": sql_obo_canonical_nodes,
         "obo_url_compaction": sql_obo_url_compaction,
         "obo_frame_diff": sql_obo_frame_diff,
         "obo_serializer_roundtrip": sql_obo_roundtrip,
