@@ -134,8 +134,63 @@ ORDER BY query_id, rank
 """
 
 
-QUERIES.update({"ann_ivf_topk": q_ann_ivf})
-_GENERATED_ORACLES.update({"ann_ivf_topk": sql_ann_ivf})
+def q_ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF with TRAINED centroids (VERDICT r4): deterministic spherical
+    k-means over a bounded prefix sample replaces the seeded random
+    anchors; the DataFrame program is byte-for-byte the same plan."""
+    anchors = S.train_ivf_anchors(sf, n_cells=16, train_n=256)
+    emb = load_table(spark, sf, "embeddings")
+    return S.ivf_topk(emb, n_queries=20, k=5, n_cells=16, nprobe=4, anchors=anchors).orderBy(
+        "query_id", "rank"
+    )
+
+
+def sql_ann_ivf_trained(n_cells: int = 16, nprobe: int = 4, train_n: int = 256) -> str:
+    """DuckDB mirror of the trained-IVF query. The centroids come from
+    the SAME training function at sf0.01 — the scale the driver contract
+    compares at — so both sides quantize with bit-identical anchors; the
+    assignment / probing / exact-cosine ranking is recomputed in SQL."""
+    a = S.train_ivf_anchors("/root/testdata/sf0.01", n_cells=n_cells, train_n=train_n)
+    anchor_rows = ",\n".join(
+        f"({c}, [{', '.join(repr(float(x)) for x in a[c])}]::DOUBLE[])" for c in range(n_cells)
+    )
+    return f"""
+WITH anchors(cell, a) AS (VALUES
+{anchor_rows}
+),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+sc AS (
+  SELECT e.vec_id, anchors.cell, list_dot_product(e.v, anchors.a) AS s,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.v, anchors.a) DESC, anchors.cell) AS rn
+  FROM e, anchors
+),
+assign AS (SELECT vec_id, cell FROM sc WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cell FROM sc WHERE rn <= {nprobe} AND vec_id < 20),
+scored AS (
+  SELECT p.query_id, a2.vec_id AS neighbor_id,
+         list_dot_product(eq.v, en.v) / (eq.nrm * en.nrm) AS cos
+  FROM probes p
+  JOIN assign a2 ON a2.cell = p.cell AND a2.vec_id <> p.query_id
+  JOIN e eq ON eq.vec_id = p.query_id
+  JOIN e en ON en.vec_id = a2.vec_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+QUERIES.update({"ann_ivf_topk": q_ann_ivf, "ann_ivf_trained_topk": q_ann_ivf_trained})
+_GENERATED_ORACLES.update(
+    {"ann_ivf_topk": sql_ann_ivf, "ann_ivf_trained_topk": sql_ann_ivf_trained}
+)
 
 
 QUERIES.update(
