@@ -355,6 +355,18 @@ def run_pipeline(
     # otherwise leave a partition leaf invisible to this batch's readers
     # (the manifest path self-heals inside read_manifest already)
     recover_output_compactions(out_dir)
+    # ... and re-point the snapshot HEAD at the physical state if a crash
+    # mid-destructive-maintenance left it referencing renamed-away files
+    # (no-op without a snapshot log or when HEAD already matches disk)
+    from fastobo_py_spark.plans import snapshots as _snap
+
+    _snap.sync_snapshot_to_disk(out_dir, op="heal")
+    pre_files = _snap.list_data_files(out_dir)
+    if _snap.current_snapshot_id(out_dir) is None and any(pre_files.values()):
+        # legacy dir predating the snapshot log: baseline-import the
+        # existing files so the first snapshot chain covers them
+        # (Iceberg's migrate-table analogue)
+        _snap.commit_snapshot(out_dir, added={t: sorted(f) for t, f in pre_files.items()}, op="import")
 
     src = pending_corpus(spark, corpus, out_dir) if resume else _with_doc_sha(corpus)
     keep = ["repo", "path", "commit", "lang", "content", "doc_sha", "payload_sha"] + (
@@ -400,6 +412,18 @@ def run_pipeline(
     for c in caches:
         c.unpersist()
 
+    # snapshot commit: the batch's part files become visible to
+    # read_table_at readers HERE, in one atomic rename — before the
+    # manifest append, so a crash between the two reruns the batch
+    # idempotently instead of losing it from snapshot visibility
+    post_files = _snap.list_data_files(out_dir)
+    snapshot = _snap.commit_snapshot(
+        out_dir,
+        added={t: sorted(post_files[t] - pre_files.get(t, set())) for t in _snap.TABLES},
+        op="append",
+        batch_id=batch_id,
+    )
+
     # manifest append LAST: a crash before this line leaves the batch
     # unrecorded and it reruns idempotently (outputs keyed by doc_sha are
     # deduplicated by readers; Iceberg would make this a single atomic commit)
@@ -425,6 +449,8 @@ def run_pipeline(
         "edges": obs["edges"].get["n"],
         "nodes": obs["nodes"].get["n"],
         "manifest_compaction": compaction,
+        "snapshot_id": snapshot["snapshot_id"],
+        "snapshot_sequence": snapshot["sequence"],
         "elapsed_sec": round(time.time() - t0, 3),
     }
     clauses.unpersist()
@@ -521,6 +547,13 @@ def compact_outputs(
     is healed by :func:`recover_output_compactions`, which this function
     runs first. Maintenance op by design — run it out-of-band like
     Iceberg's rewrite_data_files, not inside the ingest commit path.
+
+    Snapshot interaction: this compactor is DESTRUCTIVE — it deletes the
+    fragmented originals, so when a snapshot log exists it finishes by
+    committing a replace snapshot from the physical state and EXPIRING
+    all history (older snapshots referenced the deleted files). Use
+    :func:`fastobo_py_spark.plans.snapshots.rewrite_data_files` to
+    compact while retaining time travel.
     """
     import shutil
 
@@ -552,4 +585,9 @@ def compact_outputs(
             stats["parts_before"] += len(parts)
             stats["parts_after"] += int(n_out)
     shutil.rmtree(tmp_root, ignore_errors=True)
+    if stats["leaves_compacted"]:
+        from fastobo_py_spark.plans import snapshots as _snap
+
+        if _snap.sync_snapshot_to_disk(out_dir, op="replace", tables=tables) is not None:
+            stats["snapshots_expired"] = _snap.expire_snapshots(out_dir, keep_last=1, tables=tables)
     return stats

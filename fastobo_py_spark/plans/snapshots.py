@@ -1,0 +1,406 @@
+"""Iceberg-style snapshot layer over the plain-parquet output tables.
+
+BASELINE.json names Iceberg as the table format; this sandbox has no
+Iceberg runtime, so this module supplies the three Iceberg behaviors the
+pipeline actually relies on, on plain parquet — with the same commit
+semantics, not a simulation:
+
+  * **snapshot isolation** — a batch's part files become visible to
+    snapshot readers only when its snapshot JSON commits (one atomic
+    POSIX rename). A reader resolving snapshot N never sees a
+    half-written batch N+1.
+  * **time travel** — every snapshot records the file-set DELTA plus a
+    parent pointer (Iceberg's manifest-list structure); resolving a
+    snapshot walks the chain, so ``read_table_at(..., snapshot_id=...)``
+    or ``as_of_timestamp=...`` reads any retained historical state.
+  * **schema evolution** — snapshots pin FILE SETS, so a column added by
+    a later batch exists only in later files: time-travel reads of old
+    snapshots return the old schema, current reads merge
+    (``mergeSchema``), exactly Iceberg's add-column semantics for the
+    append-only case.
+
+Single-writer assumption (documented, as Iceberg assumes a catalog for
+multi-writer): one pipeline commits at a time per output dir. Crash
+windows are all safe-by-construction:
+
+  * data files written, snapshot not committed → orphan files, invisible
+    to snapshot readers; the batch reruns idempotently (its manifest
+    append happens AFTER the snapshot commit) and
+    :func:`remove_orphan_files` garbage-collects the losers.
+  * snapshot committed, HEAD not advanced → an unreferenced snapshot;
+    the next commit parents from HEAD so the orphan snapshot is simply
+    unreachable, and :func:`expire_snapshots` removes it.
+
+Layout under ``<out_dir>/_snapshots/``::
+
+    snap-<seq:08d>-<id>.json   one per commit (never rewritten)
+    HEAD                       current snapshot id (tmp+rename updates)
+
+Reference points (parity not port): Iceberg's spec — snapshots,
+manifest lists, ``rewrite_data_files``, ``expireSnapshots``,
+``removeOrphanFiles``; fastobo-py has no table format at all (it is a
+parser library), so this whole module is north-rule scope
+(`BASELINE.json: "Iceberg table of source-code repositories"`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+SNAP_DIR = "_snapshots"
+TABLES = ("nodes", "edges")
+
+
+def _snap_root(out_dir: str) -> str:
+    return os.path.join(out_dir, SNAP_DIR)
+
+
+def _head_path(out_dir: str) -> str:
+    return os.path.join(_snap_root(out_dir), "HEAD")
+
+
+def _atomic_write(path: str, data: str) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        fh.write(data)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, path)
+
+
+def list_data_files(out_dir: str, tables: tuple = TABLES) -> dict[str, set[str]]:
+    """Current physical part files per table, as out_dir-relative paths.
+    The before/after diff of this listing is what a commit records as its
+    delta (on a cluster, the FileCommitProtocol task manifest supplies
+    this without a walk; locally the walk over the output tree is the
+    equivalent and costs one readdir per partition leaf)."""
+    out: dict[str, set[str]] = {}
+    for t in tables:
+        root = os.path.join(out_dir, t)
+        files: set[str] = set()
+        if os.path.isdir(root):
+            for dirpath, _dirnames, filenames in os.walk(root):
+                for f in filenames:
+                    if f.endswith(".parquet"):
+                        files.add(os.path.relpath(os.path.join(dirpath, f), out_dir))
+        out[t] = files
+    return out
+
+
+def current_snapshot_id(out_dir: str) -> str | None:
+    try:
+        with open(_head_path(out_dir)) as fh:
+            v = fh.read().strip()
+            return v or None
+    except FileNotFoundError:
+        return None
+
+
+def _snap_paths(out_dir: str) -> list[str]:
+    root = _snap_root(out_dir)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        os.path.join(root, f)
+        for f in os.listdir(root)
+        if f.startswith("snap-") and f.endswith(".json")
+    )
+
+
+def list_snapshots(out_dir: str) -> list[dict]:
+    """All retained snapshots, oldest first (sequence order)."""
+    out = []
+    for p in _snap_paths(out_dir):
+        with open(p) as fh:
+            out.append(json.load(fh))
+    out.sort(key=lambda s: s["sequence"])
+    return out
+
+
+def _load_by_id(out_dir: str) -> dict[str, dict]:
+    return {s["snapshot_id"]: s for s in list_snapshots(out_dir)}
+
+
+def commit_snapshot(
+    out_dir: str,
+    added: dict[str, list[str]],
+    removed: dict[str, list[str]] | None = None,
+    op: str = "append",
+    batch_id: str | None = None,
+    parent_id: str | None = None,
+) -> dict:
+    """Commit one snapshot: write the JSON (atomic rename), then advance
+    HEAD (second atomic rename). ``parent_id`` defaults to current HEAD —
+    passing an older id makes this a rollback-style divergent commit."""
+    os.makedirs(_snap_root(out_dir), exist_ok=True)
+    snaps = _load_by_id(out_dir)
+    parent = parent_id if parent_id is not None else current_snapshot_id(out_dir)
+    if parent is not None and parent not in snaps:
+        raise ValueError(f"parent snapshot {parent} not found")
+    seq = (max((s["sequence"] for s in snaps.values()), default=0)) + 1
+    sid = uuid.uuid4().hex[:12]
+    snap = {
+        "snapshot_id": sid,
+        "sequence": seq,
+        "parent_id": parent,
+        "op": op,
+        "batch_id": batch_id,
+        "created_at_ms": int(time.time() * 1000),
+        "added": {t: sorted(fs) for t, fs in (added or {}).items() if fs},
+        "removed": {t: sorted(fs) for t, fs in (removed or {}).items() if fs},
+    }
+    _atomic_write(
+        os.path.join(_snap_root(out_dir), f"snap-{seq:08d}-{sid}.json"),
+        json.dumps(snap, indent=1),
+    )
+    _atomic_write(_head_path(out_dir), sid)
+    return snap
+
+
+def resolve_files(out_dir: str, table: str, snapshot_id: str | None = None) -> list[str]:
+    """File set of ``table`` at a snapshot (default HEAD): walk the
+    parent chain root→snapshot applying added/removed deltas. Raises for
+    an unknown or expired snapshot (Iceberg: ``Cannot find snapshot``)."""
+    sid = snapshot_id or current_snapshot_id(out_dir)
+    if sid is None:
+        raise ValueError(f"no snapshots committed under {out_dir}")
+    snaps = _load_by_id(out_dir)
+    chain = []
+    cur: str | None = sid
+    while cur is not None:
+        s = snaps.get(cur)
+        if s is None:
+            raise ValueError(f"snapshot {cur} not found (expired or never committed)")
+        chain.append(s)
+        cur = s["parent_id"]
+    files: set[str] = set()
+    for s in reversed(chain):
+        files |= set(s["added"].get(table, ()))
+        files -= set(s["removed"].get(table, ()))
+    return sorted(files)
+
+
+def snapshot_as_of(out_dir: str, ts_ms: int) -> str:
+    """Newest snapshot committed at or before ``ts_ms`` that is reachable
+    from HEAD (rolled-back-away branches don't time-travel, matching
+    Iceberg's ``FOR SYSTEM_TIME AS OF`` over the current history)."""
+    snaps = _load_by_id(out_dir)
+    cur = current_snapshot_id(out_dir)
+    best = None
+    while cur is not None:
+        s = snaps.get(cur)
+        if s is None:
+            break
+        if s["created_at_ms"] <= ts_ms:
+            best = s
+            break  # chain is newest-first; first hit is the newest ≤ ts
+        cur = s["parent_id"]
+    if best is None:
+        raise ValueError(f"no snapshot at or before {ts_ms}")
+    return best["snapshot_id"]
+
+
+def read_table_at(
+    spark: SparkSession,
+    out_dir: str,
+    table: str,
+    snapshot_id: str | None = None,
+    as_of_ms: int | None = None,
+) -> DataFrame:
+    """Snapshot-consistent read: the resolved file list goes to the scan
+    explicitly, with ``basePath`` so partition columns (idspace, salt)
+    are still inferred from the directory layout, and ``mergeSchema`` so
+    cross-batch schema evolution unions correctly. An empty snapshot
+    yields an empty DataFrame with no columns (nothing to infer from)."""
+    if as_of_ms is not None and snapshot_id is not None:
+        raise ValueError("pass snapshot_id or as_of_ms, not both")
+    if as_of_ms is not None:
+        snapshot_id = snapshot_as_of(out_dir, as_of_ms)
+    rels = resolve_files(out_dir, table, snapshot_id)
+    if not rels:
+        return spark.createDataFrame([], "ignored string").limit(0).drop("ignored")
+    paths = [os.path.join(out_dir, r) for r in rels]
+    return (
+        spark.read.option("basePath", os.path.join(out_dir, table))
+        .option("mergeSchema", "true")
+        .parquet(*paths)
+    )
+
+
+def rollback(out_dir: str, snapshot_id: str) -> None:
+    """Point HEAD at an earlier snapshot. Later snapshots stay on disk
+    (still addressable by id) until :func:`expire_snapshots`; the next
+    commit parents from the restored HEAD, so the abandoned suffix
+    becomes an unreachable branch — Iceberg's ``rollback_to_snapshot``."""
+    if snapshot_id not in _load_by_id(out_dir):
+        raise ValueError(f"snapshot {snapshot_id} not found")
+    _atomic_write(_head_path(out_dir), snapshot_id)
+
+
+def expire_snapshots(out_dir: str, keep_last: int = 1, tables: tuple = TABLES) -> dict:
+    """Drop history: keep the newest ``keep_last`` snapshots of the HEAD
+    chain (their files stay), delete every other snapshot JSON, and
+    delete data files no retained snapshot references. The kept chain's
+    oldest snapshot is REBASED to a root (its delta rewritten to the full
+    resolved file set) so resolution never needs the expired parents —
+    Iceberg's ``expireSnapshots`` + ``removeOrphanFiles`` in one pass."""
+    snaps = _load_by_id(out_dir)
+    head = current_snapshot_id(out_dir)
+    if head is None:
+        return {"expired": 0, "deleted_files": 0}
+    chain = []
+    cur: str | None = head
+    while cur is not None and cur in snaps:
+        chain.append(snaps[cur])
+        cur = snaps[cur]["parent_id"]
+    kept = chain[: max(1, keep_last)]
+    kept_ids = {s["snapshot_id"] for s in kept}
+
+    # resolve the keep-boundary snapshot BEFORE deleting its ancestry
+    base = kept[-1]
+    base_files = {t: set(resolve_files(out_dir, t, base["snapshot_id"])) for t in tables}
+    keep_files: dict[str, set] = {t: set(base_files[t]) for t in tables}
+    for s in kept[:-1]:
+        for t in tables:
+            keep_files[t] |= set(s["added"].get(t, ()))
+
+    # rewrite the boundary snapshot as a root (full file set, no parent)
+    base = dict(base)
+    base["parent_id"] = None
+    base["added"] = {t: sorted(base_files[t]) for t in tables if base_files[t]}
+    base["removed"] = {}
+    _atomic_write(
+        os.path.join(_snap_root(out_dir), f"snap-{base['sequence']:08d}-{base['snapshot_id']}.json"),
+        json.dumps(base, indent=1),
+    )
+
+    expired = 0
+    for p in _snap_paths(out_dir):
+        with open(p) as fh:
+            sid = json.load(fh)["snapshot_id"]
+        if sid not in kept_ids:
+            os.remove(p)
+            expired += 1
+
+    deleted = 0
+    on_disk = list_data_files(out_dir, tables)
+    for t in tables:
+        for rel in sorted(on_disk[t] - keep_files[t]):
+            os.remove(os.path.join(out_dir, rel))
+            deleted += 1
+    return {"expired": expired, "deleted_files": deleted}
+
+
+def remove_orphan_files(out_dir: str, tables: tuple = TABLES) -> int:
+    """Delete data files referenced by NO retained snapshot — the debris
+    of a crash between data write and snapshot commit. Run out-of-band
+    (single-writer window), like Iceberg's ``removeOrphanFiles``."""
+    snaps = list_snapshots(out_dir)
+    if not snaps:
+        return 0
+    referenced: dict[str, set] = {t: set() for t in tables}
+    for s in snaps:
+        for t in tables:
+            referenced[t] |= set(s["added"].get(t, ()))
+    deleted = 0
+    on_disk = list_data_files(out_dir, tables)
+    for t in tables:
+        for rel in sorted(on_disk[t] - referenced[t]):
+            os.remove(os.path.join(out_dir, rel))
+            deleted += 1
+    return deleted
+
+
+def sync_snapshot_to_disk(out_dir: str, op: str = "replace", tables: tuple = TABLES) -> dict | None:
+    """Commit a snapshot whose file sets equal the CURRENT physical
+    listing. Two callers: destructive maintenance (compact_outputs) that
+    changed files outside the snapshot protocol, and the entry heal after
+    a crash mid-maintenance (HEAD referencing renamed-away files). No-op
+    (returns None) when no snapshot log exists or disk already matches
+    HEAD."""
+    if not os.path.isdir(_snap_root(out_dir)):
+        return None
+    on_disk = list_data_files(out_dir, tables)
+    try:
+        prev = {t: set(resolve_files(out_dir, t)) for t in tables}
+    except ValueError:
+        prev = {t: set() for t in tables}
+    added = {t: sorted(on_disk[t] - prev[t]) for t in tables}
+    removed = {t: sorted(prev[t] - on_disk[t]) for t in tables}
+    if not any(added.values()) and not any(removed.values()):
+        return None
+    return commit_snapshot(out_dir, added=added, removed=removed, op=op)
+
+
+def rewrite_data_files(
+    spark: SparkSession,
+    out_dir: str,
+    tables: tuple = TABLES,
+    max_parts: int = 32,
+    target_bytes: int = 128 << 20,
+) -> dict:
+    """Iceberg-style NON-destructive small-file compaction: compacted
+    part files are written ALONGSIDE the originals (unique names inside
+    the same partition leaf), then ONE replace snapshot atomically flips
+    readers from old to new. Old files stay on disk until
+    :func:`expire_snapshots` drops the history that references them, so
+    every retained snapshot — including pre-rewrite ones — keeps reading
+    correctly throughout; a crash at ANY point leaves either invisible
+    orphan files (cleaned by :func:`remove_orphan_files`) or nothing.
+
+    This is the snapshot-native alternative to the destructive
+    ``pipeline.compact_outputs`` (which serves plain-path readers and
+    forfeits history). Only :func:`read_table_at` readers see a
+    consistent table during/after this op — a plain
+    ``spark.read.parquet(root)`` would double-count until expiration,
+    exactly as listing an Iceberg data dir would.
+    """
+    import shutil
+
+    if current_snapshot_id(out_dir) is None:
+        raise ValueError("rewrite_data_files needs a snapshot log; use compact_outputs instead")
+    cid = uuid.uuid4().hex[:8]
+    tmp_root = os.path.join(out_dir, f"_rewrite_tmp-{cid}")
+    stats = {"leaves_seen": 0, "leaves_rewritten": 0, "parts_before": 0, "parts_after": 0}
+    added: dict[str, list[str]] = {t: [] for t in tables}
+    removed: dict[str, list[str]] = {t: [] for t in tables}
+    head_files = {t: set(resolve_files(out_dir, t)) for t in tables}
+    try:
+        for t in tables:
+            by_leaf: dict[str, list[str]] = {}
+            for rel in head_files[t]:
+                by_leaf.setdefault(os.path.dirname(rel), []).append(rel)
+            for leaf_rel, rels in sorted(by_leaf.items()):
+                stats["leaves_seen"] += 1
+                if len(rels) <= max_parts:
+                    continue
+                n_bytes = sum(os.path.getsize(os.path.join(out_dir, r)) for r in rels)
+                n_out = max(1, (n_bytes + target_bytes - 1) // target_bytes)
+                tmp = os.path.join(tmp_root, f"{t}-{stats['leaves_rewritten']}")
+                # explicit file list, never the leaf dir: a dir listing
+                # could pick up orphan parts from a previously crashed
+                # rewrite and double the data
+                spark.read.parquet(*[os.path.join(out_dir, r) for r in sorted(rels)]).repartition(
+                    int(n_out)
+                ).write.mode("overwrite").parquet(tmp)
+                for f in sorted(os.listdir(tmp)):
+                    if not f.endswith(".parquet"):
+                        continue
+                    new_rel = os.path.join(leaf_rel, f"rw{cid}-{f}")
+                    os.rename(os.path.join(tmp, f), os.path.join(out_dir, new_rel))
+                    added[t].append(new_rel)
+                    stats["parts_after"] += 1
+                removed[t].extend(sorted(rels))
+                stats["parts_before"] += len(rels)
+                stats["leaves_rewritten"] += 1
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+    if stats["leaves_rewritten"]:
+        snap = commit_snapshot(out_dir, added=added, removed=removed, op="replace")
+        stats["snapshot_id"] = snap["snapshot_id"]
+    return stats

@@ -1,0 +1,214 @@
+"""Snapshot layer (plans/snapshots.py): isolation, time travel, schema
+evolution, rollback, expiration, orphan cleanup, non-destructive rewrite,
+and the run_pipeline / compact_outputs integration."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastobo_py_spark.plans import snapshots as S
+
+
+def _write_batch(spark, out, rows, schema="idspace string, x int"):
+    spark.createDataFrame(rows, schema).write.mode("append").partitionBy("idspace").parquet(
+        f"{out}/nodes"
+    )
+
+
+def _commit_delta(out, pre, **kw):
+    post = S.list_data_files(out)
+    return S.commit_snapshot(
+        out, added={t: sorted(post[t] - pre[t]) for t in S.TABLES}, **kw
+    ), post
+
+
+def test_snapshot_isolation_and_time_travel(spark):
+    out = tempfile.mkdtemp(prefix="snap_")
+    try:
+        pre = S.list_data_files(out)
+        _write_batch(spark, out, [("A", 1), ("B", 2)])
+        s1, post1 = _commit_delta(out, pre)
+        _write_batch(spark, out, [("A", 3)])
+        s2, post2 = _commit_delta(out, post1)
+
+        # HEAD sees both batches; snapshot 1 sees only the first
+        assert S.current_snapshot_id(out) == s2["snapshot_id"]
+        head = S.read_table_at(spark, out, "nodes")
+        assert head.count() == 3
+        old = S.read_table_at(spark, out, "nodes", snapshot_id=s1["snapshot_id"])
+        assert sorted(r["x"] for r in old.collect()) == [1, 2]
+        # partition column survives explicit-file reads (basePath)
+        assert {r["idspace"] for r in old.collect()} == {"A", "B"}
+
+        # uncommitted files are INVISIBLE to snapshot readers (isolation)
+        _write_batch(spark, out, [("C", 9)])
+        assert S.read_table_at(spark, out, "nodes").count() == 3
+
+        # AS OF timestamp resolves along the HEAD chain
+        assert S.snapshot_as_of(out, s1["created_at_ms"]) == s1["snapshot_id"]
+        assert S.snapshot_as_of(out, s2["created_at_ms"] + 10) == s2["snapshot_id"]
+        with pytest.raises(ValueError):
+            S.snapshot_as_of(out, s1["created_at_ms"] - 10)
+
+        # the uncommitted batch is an orphan; remove_orphan_files reaps it
+        assert S.remove_orphan_files(out) >= 1
+        assert S.read_table_at(spark, out, "nodes").count() == 3
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_schema_evolution_across_snapshots(spark):
+    """A column added by a later batch: old snapshots read the old
+    schema; HEAD merges (added column NULL for old rows)."""
+    out = tempfile.mkdtemp(prefix="snap_ev_")
+    try:
+        pre = S.list_data_files(out)
+        _write_batch(spark, out, [("A", 1)])
+        s1, post1 = _commit_delta(out, pre)
+        spark.createDataFrame(
+            [("B", 2, "new")], "idspace string, x int, extra string"
+        ).write.mode("append").partitionBy("idspace").parquet(f"{out}/nodes")
+        s2, _ = _commit_delta(out, post1)
+
+        old = S.read_table_at(spark, out, "nodes", snapshot_id=s1["snapshot_id"])
+        assert "extra" not in old.columns
+        head = S.read_table_at(spark, out, "nodes")
+        assert "extra" in head.columns
+        vals = {r["x"]: r["extra"] for r in head.collect()}
+        assert vals == {1: None, 2: "new"}
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_rollback_and_divergent_history(spark):
+    out = tempfile.mkdtemp(prefix="snap_rb_")
+    try:
+        pre = S.list_data_files(out)
+        _write_batch(spark, out, [("A", 1)])
+        s1, post1 = _commit_delta(out, pre)
+        _write_batch(spark, out, [("A", 2)])
+        s2, post2 = _commit_delta(out, post1)
+
+        S.rollback(out, s1["snapshot_id"])
+        assert S.read_table_at(spark, out, "nodes").count() == 1
+        # next commit parents from the restored HEAD; s2 becomes a branch
+        _write_batch(spark, out, [("A", 5)])
+        s3, _ = _commit_delta(out, post2)  # delta = only the batch just written
+        assert s3["parent_id"] == s1["snapshot_id"]
+        assert sorted(
+            r["x"] for r in S.read_table_at(spark, out, "nodes").collect()
+        ) == [1, 5]
+        # s2 is still addressable by id until expiration
+        assert S.read_table_at(spark, out, "nodes", snapshot_id=s2["snapshot_id"]).count() == 2
+        with pytest.raises(ValueError):
+            S.rollback(out, "nonexistent000")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_expire_snapshots_rebases_and_deletes(spark):
+    out = tempfile.mkdtemp(prefix="snap_exp_")
+    try:
+        pre = S.list_data_files(out)
+        _write_batch(spark, out, [("A", 1)])
+        s1, post1 = _commit_delta(out, pre)
+        _write_batch(spark, out, [("A", 2)])
+        s2, post2 = _commit_delta(out, post1)
+        _write_batch(spark, out, [("A", 3)])
+        s3, _ = _commit_delta(out, post2)
+
+        st = S.expire_snapshots(out, keep_last=2)
+        assert st["expired"] == 1  # s1's JSON gone
+        # nothing deleted: appends never removed files, all still referenced
+        assert st["deleted_files"] == 0
+        # s2 was rebased to a root and still resolves the full history
+        assert sorted(
+            r["x"] for r in S.read_table_at(spark, out, "nodes", snapshot_id=s2["snapshot_id"]).collect()
+        ) == [1, 2]
+        assert S.read_table_at(spark, out, "nodes").count() == 3
+        with pytest.raises(ValueError):
+            S.resolve_files(out, "nodes", s1["snapshot_id"])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_rewrite_data_files_preserves_time_travel(spark):
+    """Iceberg-style non-destructive compaction: readers flip atomically,
+    pre-rewrite snapshots keep reading, expiration reclaims the originals."""
+    out = tempfile.mkdtemp(prefix="snap_rw_")
+    try:
+        pre = S.list_data_files(out)
+        for i in range(4):  # 4 fragmented appends into one partition
+            _write_batch(spark, out, [("A", i)])
+        s1, _ = _commit_delta(out, pre)
+        n_before = len(S.resolve_files(out, "nodes"))
+        assert n_before >= 4
+
+        st = S.rewrite_data_files(spark, out, max_parts=1, target_bytes=1 << 30)
+        assert st["leaves_rewritten"] >= 1
+        head_files = S.resolve_files(out, "nodes")
+        assert len(head_files) < n_before
+        assert sorted(r["x"] for r in S.read_table_at(spark, out, "nodes").collect()) == [0, 1, 2, 3]
+        # the PRE-rewrite snapshot still reads correctly (originals retained)
+        assert sorted(
+            r["x"] for r in S.read_table_at(spark, out, "nodes", snapshot_id=s1["snapshot_id"]).collect()
+        ) == [0, 1, 2, 3]
+        # expiration reclaims the replaced originals
+        st2 = S.expire_snapshots(out, keep_last=1)
+        assert st2["deleted_files"] >= 4
+        assert sorted(r["x"] for r in S.read_table_at(spark, out, "nodes").collect()) == [0, 1, 2, 3]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_pipeline_commits_snapshots(spark, corpus):
+    """run_pipeline: every batch commits a snapshot; resume batches with
+    nothing pending still commit (empty delta); time travel between two
+    ingest batches sees the first batch's row counts."""
+    from fastobo_py_spark.plans.pipeline import run_pipeline
+
+    out = tempfile.mkdtemp(prefix="snap_pipe_")
+    try:
+        half = corpus.where(F.crc32(F.col("path")) % 2 == 0)
+        m1 = run_pipeline(spark, half, out, canonicalize=False)
+        m2 = run_pipeline(spark, corpus, out, canonicalize=False)
+        assert m1["snapshot_id"] != m2["snapshot_id"]
+        snaps = S.list_snapshots(out)
+        assert [s["snapshot_id"] for s in snaps[-2:]] == [m1["snapshot_id"], m2["snapshot_id"]]
+
+        n1 = S.read_table_at(spark, out, "nodes", snapshot_id=m1["snapshot_id"]).count()
+        nh = S.read_table_at(spark, out, "nodes").count()
+        assert 0 < n1 < nh
+        # snapshot reads match the plain-path reads (no dup/missing files)
+        assert nh == spark.read.parquet(f"{out}/nodes").count()
+        eh = S.read_table_at(spark, out, "edges").count()
+        assert eh == spark.read.parquet(f"{out}/edges").count()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_compact_outputs_syncs_snapshot_log(spark, corpus):
+    """Destructive compaction on a snapshotted dir: finishes with HEAD
+    matching the physical state and history expired — snapshot readers
+    never see missing files."""
+    from fastobo_py_spark.plans.pipeline import compact_outputs, run_pipeline
+
+    out = tempfile.mkdtemp(prefix="snap_comp_")
+    try:
+        run_pipeline(spark, corpus, out, canonicalize=False)
+        n0 = S.read_table_at(spark, out, "nodes").count()
+        st = compact_outputs(spark, out, max_parts=0, target_bytes=1 << 30)
+        assert st["leaves_compacted"] > 0
+        assert "snapshots_expired" in st
+        assert S.read_table_at(spark, out, "nodes").count() == n0
+        # every referenced file physically exists
+        for t in S.TABLES:
+            for rel in S.resolve_files(out, t):
+                assert os.path.exists(os.path.join(out, rel)), rel
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
