@@ -158,6 +158,71 @@ def sql_obo_pipeline_resume() -> str:
     ]
     return _values_sql(sorted(out), ["metric", "value"])
 
+def q_obo_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot layer as an oracle-checked behavior: two ingest batches
+    (same deterministic md5(path) split as the resume query), then node/
+    edge counts read AT the first batch's snapshot vs HEAD — and the same
+    two reads again after a NON-destructive rewrite_data_files pass,
+    which must change neither (old snapshots keep reading through
+    compaction; that is the whole point of the snapshot log)."""
+    import shutil
+    import tempfile
+
+    from fastobo_py_spark.plans import snapshots as S
+    from fastobo_py_spark.plans.pipeline import run_pipeline
+
+    corpus = _corpus_df(spark)
+    out = tempfile.mkdtemp(prefix="kg_travel_q_")
+    try:
+        first = corpus.where(F.substring(F.md5(F.col("path")), 1, 1) < "8")
+        m1 = run_pipeline(spark, first, out, canonicalize=False)
+        run_pipeline(spark, corpus, out, canonicalize=False)
+        s1 = m1["snapshot_id"]
+
+        def counts(tag):
+            return [
+                (f"nodes_b1{tag}", S.read_table_at(spark, out, "nodes", snapshot_id=s1).count()),
+                (f"nodes_head{tag}", S.read_table_at(spark, out, "nodes").count()),
+                (f"edges_b1{tag}", S.read_table_at(spark, out, "edges", snapshot_id=s1).count()),
+                (f"edges_head{tag}", S.read_table_at(spark, out, "edges").count()),
+            ]
+
+        rows = counts("")
+        S.rewrite_data_files(spark, out, max_parts=0, target_bytes=1 << 30)
+        rows += counts("_postrw")
+        return spark.createDataFrame(rows, "metric string, value bigint").orderBy("metric")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def sql_obo_time_travel() -> str:
+    import hashlib as _hl
+
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    rows = generate_corpus(**_CORPUS_KW)
+    first = [r for r in rows if _hl.md5(r["path"].encode()).hexdigest()[0] < "8"]
+
+    def node_count(rs):
+        clauses, _ = oracle.parse_rows(rs)
+        ix = oracle._IX
+        return len(
+            {(c[0], c[3 + ix["frame_id"]]) for c in clauses if c[3] != "Header" and c[3 + ix["frame_id"]]}
+        )
+
+    nb1 = node_count(first)
+    nh = node_count(rows)
+    eb1 = len(oracle.build_edges(first, canonicalize=False, apply_macros=True))
+    eh = len(oracle.build_edges(rows, canonicalize=False, apply_macros=True))
+    out = [
+        ("nodes_b1", nb1), ("nodes_head", nh), ("edges_b1", eb1), ("edges_head", eh),
+        ("nodes_b1_postrw", nb1), ("nodes_head_postrw", nh),
+        ("edges_b1_postrw", eb1), ("edges_head_postrw", eh),
+    ]
+    return _values_sql(sorted(out), ["metric", "value"])
+
+
 def q_obo_ancestors(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive is_a ancestor closure over the canonical KG — the
     classic downstream ontology query (reference users walk the AST in
@@ -286,12 +351,14 @@ QUERIES.update(
     {
         "obo_graph_roundtrip": q_obo_graph_roundtrip,
         "obo_pipeline_resume": q_obo_pipeline_resume,
+        "obo_time_travel": q_obo_time_travel,
     }
 )
 _GENERATED_ORACLES.update(
     {
         "obo_graph_roundtrip": sql_obo_graph_roundtrip,
         "obo_pipeline_resume": sql_obo_pipeline_resume,
+        "obo_time_travel": sql_obo_time_travel,
     }
 )
 
