@@ -56,6 +56,32 @@ HEADLINE = [
 ]
 
 
+def load_1m() -> float:
+    return round(os.getloadavg()[0], 2)
+
+
+def load_gate(max_load: float = 2.0, recheck_sec: int = 30, timeout_sec: int = 900) -> float:
+    """Block until the host is quiet: 1-min load below ``max_load`` on two
+    checks ``recheck_sec`` apart (the shared box spikes to 10+ with zero
+    local processes; a single check can catch the gap between spikes).
+    Returns the final load. Gives up after ``timeout_sec`` — a run under
+    residual load is annotated, not blocked forever. Set
+    SPARK_GRAFT_NO_LOADGATE=1 to skip (e.g. under a driver timeout)."""
+    if os.environ.get("SPARK_GRAFT_NO_LOADGATE"):
+        return load_1m()
+    t0 = time.time()
+    while time.time() - t0 < timeout_sec:
+        first = load_1m()
+        if first < max_load:
+            time.sleep(recheck_sec)
+            second = load_1m()
+            if second < max_load:
+                return second
+        else:
+            time.sleep(recheck_sec)
+    return load_1m()
+
+
 _EDGE_TAGS = [
     "is_a", "relationship", "intersection_of", "union_of", "equivalent_to",
     "disjoint_from", "xref", "alt_id", "replaced_by",
@@ -175,6 +201,7 @@ def run_bench() -> dict:
     from fastobo_py_spark import queries as Q
     from fastobo_py_spark.session import get_spark
 
+    _load_start = load_1m()
     spark = get_spark(app_name="fastobo-py-spark-bench", master=f"local[{CPUS}]")
     # symmetric warm-up (see module docstring): run each headline query
     # once at the smallest SF so the timed run below measures the
@@ -221,6 +248,10 @@ def run_bench() -> dict:
         "obo_files_per_sec": round(fps, 2),
         "obo_canonical_edges": n_edges,
         "cpus": int(CPUS),
+        # self-annotating artifact (VERDICT r4): a headline measured on a
+        # loaded box must carry the evidence in the JSON, not in prose
+        "load_1m_start": _load_start,
+        "load_1m_end": load_1m(),
     }
     spark.stop()
     return result
@@ -275,7 +306,7 @@ def run_scaling() -> dict:
     n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
     n_files = n_obo + n_noise
     corpus_dir = tempfile.mkdtemp(prefix="obo_scale_corpus_")
-    out = {}
+    out = {"load_1m_start": load_1m()}
     try:
         corpus_to_parquet(corpus_dir, n_obo=n_obo, n_noise=n_noise, doc_scale=doc_scale, n_files=256)
         reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
@@ -332,6 +363,7 @@ def run_scaling() -> dict:
     if ctl_n and ctl_4n:
         out["control_efficiency"] = round(ctl_4n / ctl_n / 4.0, 3)
     out["corpus"] = {"n_obo": n_obo, "n_noise": n_noise, "doc_scale": doc_scale}
+    out["load_1m_end"] = load_1m()
     return out
 
 

@@ -19,7 +19,8 @@ sf1 tables are derived deterministically from the driver's sf0.1 parquet
     no duplicate vectors).
 Everything is pure column ops on deterministic input → byte-stable.
 
-Usage: python tools/endurance_sf1.py  → writes BENCH_r04_sf1.json
+Usage: python tools/endurance_sf1.py  → writes $SPARK_GRAFT_ENDURANCE_OUT
+(default BENCH_sf1.json); each KG sample is load-gated, headline = median.
 """
 
 from __future__ import annotations
@@ -173,26 +174,37 @@ def main() -> None:
 
     print("KG pipeline over 130k files…", flush=True)
     spark = get_spark(app_name="fastobo-endurance", master="local[32]")
-    # same warm-up + best-of-2 convention as the bench OBO leg: on the
-    # shared host a single sample confounds box state with the code
-    # (observed spread on identical code/corpus: 2.6k-7.9k files/sec)
+    # warm-up + LOAD-GATED multi-sample (VERDICT r4: a 75% best-of-2
+    # spread on identical code is box state, not signal — the endurance
+    # leg now meets the scaling harness's bar: gate each sample on a
+    # quiet host, record every sample + its load, and headline the
+    # MEDIAN with best alongside)
     bench._obo_pipeline_files_per_sec(spark, 20, 10)
-    samples = [bench._pipeline_from_parquet(spark, CORPUS_DIR, n_obo + n_noise) for _ in range(2)]
-    kg = max(samples, key=lambda r: r["files_per_sec"])
+    n_samples = int(os.environ.get("SPARK_GRAFT_ENDURANCE_REPS", "3"))
+    samples, loads = [], []
+    for _ in range(n_samples):
+        loads.append(bench.load_gate())
+        samples.append(bench._pipeline_from_parquet(spark, CORPUS_DIR, n_obo + n_noise))
     spark.stop()
+    ordered = sorted(samples, key=lambda r: r["files_per_sec"])
+    kg = ordered[len(ordered) // 2]  # median sample (headline)
+    best = ordered[-1]
 
     result["endurance_corpus"] = {
         "n_files": n_obo + n_noise,
         "files_per_sec": round(kg["files_per_sec"], 2),
+        "files_per_sec_best": round(best["files_per_sec"], 2),
         "n_edges": kg["n_edges"],
         "t_parse": kg["t_parse"],
         "t_graph": kg["t_graph"],
         "t_total": kg["t_total"],
         "cpu_sec": kg["cpu_sec"],
         "samples_files_per_sec": [round(r["files_per_sec"], 2) for r in samples],
+        "samples_load_1m": loads,
+        "headline_stat": "median",
     }
     result["wall_total_sec"] = round(time.time() - t_start, 1)
-    out = "/root/repo/BENCH_r04_sf1.json"
+    out = os.environ.get("SPARK_GRAFT_ENDURANCE_OUT", "/root/repo/BENCH_sf1.json")
     with open(out, "w") as fh:
         fh.write(json.dumps(result) + "\n")
     print(json.dumps(result), flush=True)
