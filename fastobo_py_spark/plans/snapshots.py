@@ -24,9 +24,14 @@ multi-writer): one pipeline commits at a time per output dir. Crash
 windows are all safe-by-construction:
 
   * data files written, snapshot not committed → orphan files, invisible
-    to snapshot readers; the batch reruns idempotently (its manifest
-    append happens AFTER the snapshot commit) and
-    :func:`remove_orphan_files` garbage-collects the losers.
+    to snapshot readers until either :func:`remove_orphan_files` reaps
+    them out-of-band or the next ``run_pipeline`` entry heal adopts them
+    — adoption plus the batch's idempotent rerun (its manifest append
+    happens AFTER the snapshot commit) reproduces the table's documented
+    plain-path semantics: duplicate rows keyed by doc_sha, deduplicated
+    by readers. The heal must adopt rather than ignore, because the same
+    physical state is indistinguishable from a crash mid-destructive-
+    compaction, where the on-disk files are the ONLY copy of the data.
   * snapshot committed, HEAD not advanced → an unreferenced snapshot;
     the next commit parents from HEAD so the orphan snapshot is simply
     unreachable, and :func:`expire_snapshots` removes it.

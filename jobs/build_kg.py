@@ -48,10 +48,25 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--compact-max-parts", type=int, default=32,
                     help="rewrite a leaf once it holds more parquet parts than this")
+    ap.add_argument(
+        "--rewrite-data-files",
+        action="store_true",
+        help="after the batch, compact fragmented leaves NON-destructively "
+        "behind one replace snapshot (time travel preserved until "
+        "--expire-snapshots); mutually exclusive with --compact-outputs",
+    )
+    ap.add_argument("--expire-snapshots", type=int, default=None, metavar="KEEP",
+                    help="after the batch, keep only the newest KEEP snapshots and "
+                    "delete data files no retained snapshot references")
+    ap.add_argument("--remove-orphans", action="store_true",
+                    help="after the batch, delete data files referenced by no snapshot")
     ap.add_argument("--master", default=None, help="override master (defaults to local[$SPARK_GRAFT_CPUS])")
     args = ap.parse_args(argv)
     if args.synthetic is not None and args.synthetic <= 0:
         ap.error("--synthetic must be a positive document count")
+    if args.compact_outputs and args.rewrite_data_files:
+        ap.error("--compact-outputs (destructive) and --rewrite-data-files "
+                 "(snapshot-preserving) are mutually exclusive")
 
     from fastobo_py_spark.plans.pipeline import compact_outputs, run_pipeline
     from fastobo_py_spark.session import get_spark
@@ -77,6 +92,22 @@ def main(argv: list[str] | None = None) -> int:
             metrics["output_compaction"] = compact_outputs(
                 spark, args.out, max_parts=args.compact_max_parts
             )
+        if args.rewrite_data_files:
+            from fastobo_py_spark.plans import snapshots as snap
+
+            metrics["rewrite_data_files"] = snap.rewrite_data_files(
+                spark, args.out, max_parts=args.compact_max_parts
+            )
+        if args.expire_snapshots is not None:
+            from fastobo_py_spark.plans import snapshots as snap
+
+            metrics["expire_snapshots"] = snap.expire_snapshots(
+                args.out, keep_last=args.expire_snapshots
+            )
+        if args.remove_orphans:
+            from fastobo_py_spark.plans import snapshots as snap
+
+            metrics["removed_orphan_files"] = snap.remove_orphan_files(args.out)
         print(json.dumps(metrics))
         return 0
     finally:

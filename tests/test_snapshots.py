@@ -212,3 +212,22 @@ def test_compact_outputs_syncs_snapshot_log(spark, corpus):
                 assert os.path.exists(os.path.join(out, rel)), rel
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_build_kg_cli_flag_validation():
+    """CLI guard rails: --synthetic 0 and the destructive/non-destructive
+    compaction pair are usage errors (exit 2), before any Spark startup."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "build_kg_cli", _os.path.join(_os.path.dirname(__file__), "..", "jobs", "build_kg.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    with pytest.raises(SystemExit) as e:
+        mod.main(["--synthetic", "0", "--out", "/tmp/x"])
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        mod.main(["--synthetic", "5", "--out", "/tmp/x", "--compact-outputs", "--rewrite-data-files"])
+    assert e.value.code == 2
