@@ -356,12 +356,13 @@ def run_pipeline(
     # (the manifest path self-heals inside read_manifest already)
     recover_output_compactions(out_dir)
     # ... and re-point the snapshot HEAD at the physical state if a crash
-    # mid-destructive-maintenance left it referencing renamed-away files
-    # (no-op without a snapshot log or when HEAD already matches disk)
+    # mid-destructive-maintenance left it referencing renamed-away files.
+    # Leaf-scoped heal: intact leaves are untouched, so rolled-back or
+    # orphaned files are NOT resurrected (no-op without a snapshot log);
+    # the heal's listing doubles as this batch's pre-write baseline
     from fastobo_py_spark.plans import snapshots as _snap
 
-    _snap.sync_snapshot_to_disk(out_dir, op="heal")
-    pre_files = _snap.list_data_files(out_dir)
+    _heal, pre_files = _snap.heal_snapshot(out_dir)
     if _snap.current_snapshot_id(out_dir) is None and any(pre_files.values()):
         # legacy dir predating the snapshot log: baseline-import the
         # existing files so the first snapshot chain covers them

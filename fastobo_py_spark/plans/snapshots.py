@@ -266,18 +266,25 @@ def expire_snapshots(out_dir: str, keep_last: int = 1, tables: tuple = TABLES) -
     kept = chain[: max(1, keep_last)]
     kept_ids = {s["snapshot_id"] for s in kept}
 
+    # the rebase must cover EVERY table appearing anywhere in history,
+    # not just the caller's deletion scope — a subset would overwrite the
+    # boundary snapshot's other tables away and orphan their live files
+    hist_tables = tuple(
+        set(tables) | {t for s in snaps.values() for t in (*s["added"], *s["removed"])}
+    )
+
     # resolve the keep-boundary snapshot BEFORE deleting its ancestry
     base = kept[-1]
-    base_files = {t: set(resolve_files(out_dir, t, base["snapshot_id"])) for t in tables}
-    keep_files: dict[str, set] = {t: set(base_files[t]) for t in tables}
+    base_files = {t: set(resolve_files(out_dir, t, base["snapshot_id"])) for t in hist_tables}
+    keep_files: dict[str, set] = {t: set(base_files[t]) for t in hist_tables}
     for s in kept[:-1]:
-        for t in tables:
+        for t in hist_tables:
             keep_files[t] |= set(s["added"].get(t, ()))
 
     # rewrite the boundary snapshot as a root (full file set, no parent)
     base = dict(base)
     base["parent_id"] = None
-    base["added"] = {t: sorted(base_files[t]) for t in tables if base_files[t]}
+    base["added"] = {t: sorted(base_files[t]) for t in hist_tables if base_files[t]}
     base["removed"] = {}
     _atomic_write(
         os.path.join(_snap_root(out_dir), f"snap-{base['sequence']:08d}-{base['snapshot_id']}.json"),
@@ -323,11 +330,12 @@ def remove_orphan_files(out_dir: str, tables: tuple = TABLES) -> int:
 
 def sync_snapshot_to_disk(out_dir: str, op: str = "replace", tables: tuple = TABLES) -> dict | None:
     """Commit a snapshot whose file sets equal the CURRENT physical
-    listing. Two callers: destructive maintenance (compact_outputs) that
-    changed files outside the snapshot protocol, and the entry heal after
-    a crash mid-maintenance (HEAD referencing renamed-away files). No-op
-    (returns None) when no snapshot log exists or disk already matches
-    HEAD."""
+    listing. For DESTRUCTIVE maintenance (compact_outputs) that changed
+    files outside the snapshot protocol — adopts everything on disk, so
+    never use it as a routine heal (it would resurrect rolled-back data
+    and crashed-rewrite leftovers; that is :func:`heal_snapshot`'s job).
+    No-op (returns None) when no snapshot log exists or disk already
+    matches HEAD."""
     if not os.path.isdir(_snap_root(out_dir)):
         return None
     on_disk = list_data_files(out_dir, tables)
@@ -340,6 +348,45 @@ def sync_snapshot_to_disk(out_dir: str, op: str = "replace", tables: tuple = TAB
     if not any(added.values()) and not any(removed.values()):
         return None
     return commit_snapshot(out_dir, added=added, removed=removed, op=op)
+
+
+def heal_snapshot(out_dir: str, tables: tuple = TABLES) -> tuple[dict | None, dict[str, set]]:
+    """Entry heal for a crash mid-DESTRUCTIVE-maintenance, per partition
+    LEAF: where HEAD references files that no longer exist (the leaf was
+    swapped to compacted names before the maintenance op could commit its
+    snapshot), replace that leaf's references with the leaf's on-disk
+    files. Leaves whose references are intact are left alone — so
+    rolled-back batches, crashed non-destructive rewrites, and plain
+    ingest orphans stay INVISIBLE (remove_orphan_files reaps them) rather
+    than being resurrected into HEAD. Leaf granularity is sound because
+    compact_outputs swaps whole leaf dirs atomically.
+
+    Returns (heal snapshot or None, current physical listing) so callers
+    can reuse the walk."""
+    if not os.path.isdir(_snap_root(out_dir)):
+        return None, list_data_files(out_dir, tables)
+    on_disk = list_data_files(out_dir, tables)
+    try:
+        prev = {t: set(resolve_files(out_dir, t)) for t in tables}
+    except ValueError:
+        prev = {t: set() for t in tables}
+    added: dict[str, list] = {}
+    removed: dict[str, list] = {}
+    for t in tables:
+        broken_leaves = {
+            os.path.dirname(rel)
+            for rel in prev[t]
+            if not os.path.exists(os.path.join(out_dir, rel))
+        }
+        if not broken_leaves:
+            continue
+        removed[t] = sorted(r for r in prev[t] if os.path.dirname(r) in broken_leaves)
+        added[t] = sorted(
+            r for r in on_disk[t] if os.path.dirname(r) in broken_leaves and r not in prev[t]
+        )
+    if not any(added.values()) and not any(removed.values()):
+        return None, on_disk
+    return commit_snapshot(out_dir, added=added, removed=removed, op="heal"), on_disk
 
 
 def rewrite_data_files(

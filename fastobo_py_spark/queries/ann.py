@@ -134,11 +134,20 @@ ORDER BY query_id, rank
 """
 
 
+# the DESIGNATED quantizer-training table: like a production IVF index,
+# the coarse quantizer is a trained ARTIFACT fixed at index-build time and
+# applied to whatever corpus is searched — so both the Spark query (at any
+# sf) and the DuckDB oracle train on this one fixed sample and stay
+# bit-identical. sf0.01 is the scale the driver contract compares at.
+IVF_TRAIN_DIR = "/root/testdata/sf0.01"
+
+
 def q_ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
     """IVF with TRAINED centroids (VERDICT r4): deterministic spherical
-    k-means over a bounded prefix sample replaces the seeded random
-    anchors; the DataFrame program is byte-for-byte the same plan."""
-    anchors = S.train_ivf_anchors(sf, n_cells=16, train_n=256)
+    k-means over a bounded prefix sample of the designated training table
+    replaces the seeded random anchors; the DataFrame program is
+    byte-for-byte the same plan."""
+    anchors = S.train_ivf_anchors(IVF_TRAIN_DIR, n_cells=16, train_n=256)
     emb = load_table(spark, sf, "embeddings")
     return S.ivf_topk(emb, n_queries=20, k=5, n_cells=16, nprobe=4, anchors=anchors).orderBy(
         "query_id", "rank"
@@ -146,11 +155,11 @@ def q_ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def sql_ann_ivf_trained(n_cells: int = 16, nprobe: int = 4, train_n: int = 256) -> str:
-    """DuckDB mirror of the trained-IVF query. The centroids come from
-    the SAME training function at sf0.01 — the scale the driver contract
-    compares at — so both sides quantize with bit-identical anchors; the
-    assignment / probing / exact-cosine ranking is recomputed in SQL."""
-    a = S.train_ivf_anchors("/root/testdata/sf0.01", n_cells=n_cells, train_n=train_n)
+    """DuckDB mirror of the trained-IVF query: the SAME training function
+    on the SAME designated table, so both sides hold bit-identical
+    centroids at every sf; assignment / probing / exact-cosine ranking is
+    recomputed in SQL."""
+    a = S.train_ivf_anchors(IVF_TRAIN_DIR, n_cells=n_cells, train_n=train_n)
     anchor_rows = ",\n".join(
         f"({c}, [{', '.join(repr(float(x)) for x in a[c])}]::DOUBLE[])" for c in range(n_cells)
     )

@@ -419,7 +419,11 @@ def sql_obo_canonical_nodes() -> str:
         a = agg[canon]
         a["docs"].add(sha)
         a["ids"].add(fid)
-        a["names"].extend(f["names"])
+        # mirror build_nodes EXACTLY: the per-frame name is max() over a
+        # frame's name clauses, THEN the group takes min() across frames —
+        # flattening all names would diverge on a frame with two names
+        if f["names"]:
+            a["names"].append(max(f["names"]))
         a["obs"] = a["obs"] or f["obs"]
         a["alt"] |= f["alt"]
     out = [

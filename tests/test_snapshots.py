@@ -231,3 +231,96 @@ def test_build_kg_cli_flag_validation():
     with pytest.raises(SystemExit) as e:
         mod.main(["--synthetic", "5", "--out", "/tmp/x", "--compact-outputs", "--rewrite-data-files"])
     assert e.value.code == 2
+
+
+def test_heal_does_not_resurrect_rolled_back_data(spark, corpus):
+    """After rollback, the abandoned batch's files are on disk but
+    unreferenced; the next run_pipeline entry heal must NOT re-adopt them
+    (code-review r5): HEAD keeps only batch 1 + the new batch."""
+    from fastobo_py_spark.plans.pipeline import run_pipeline
+
+    out = tempfile.mkdtemp(prefix="snap_norez_")
+    try:
+        third = corpus.where(F.crc32(F.col("path")) % 3 == 0)
+        two_thirds = corpus.where(F.crc32(F.col("path")) % 3 <= 1)
+        m1 = run_pipeline(spark, third, out, canonicalize=False)
+        n1 = S.read_table_at(spark, out, "nodes").count()
+        run_pipeline(spark, two_thirds, out, canonicalize=False)
+        assert S.read_table_at(spark, out, "nodes").count() > n1
+
+        S.rollback(out, m1["snapshot_id"])
+        # batch 3 ingests fresh docs; batch 2's rows were ROLLED BACK and
+        # must not reappear even though their files are still on disk
+        m3 = run_pipeline(spark, corpus.where(F.crc32(F.col("path")) % 3 == 2), out, canonicalize=False)
+        assert m3["snapshot_id"] != m1["snapshot_id"]
+        head_nodes = S.read_table_at(spark, out, "nodes")
+        n_head = head_nodes.count()
+        assert n_head < spark.read.parquet(f"{out}/nodes").count()  # disk holds more (orphans)
+        # batch-2 docs are exactly the missing ones
+        b1 = S.read_table_at(spark, out, "nodes", snapshot_id=m1["snapshot_id"]).count()
+        b3 = n_head - b1
+        assert b3 == m3["nodes"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_heal_adopts_destructive_compaction_crash(spark):
+    """The one crash shape the heal MUST adopt: a leaf whose referenced
+    files were renamed away by a destructive compaction swap. Intact
+    leaves with extra (orphan) files are left alone in the same pass."""
+    from fastobo_py_spark.plans.snapshots import heal_snapshot
+
+    out = tempfile.mkdtemp(prefix="snap_healleaf_")
+    try:
+        pre = S.list_data_files(out)
+        _write_batch(spark, out, [("A", 1), ("B", 2)])
+        s1, post1 = _commit_delta(out, pre)
+        n0 = S.read_table_at(spark, out, "nodes").count()
+
+        # simulate compact_outputs crash on leaf A: rewrite its parts
+        # under new names, delete the originals, NO snapshot commit
+        leaf = os.path.join(out, "nodes", "idspace=A")
+        olds = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+        spark.read.parquet(leaf).coalesce(1).write.mode("overwrite").parquet(f"{out}/_tmpleaf")
+        import shutil as _sh
+
+        for f in olds:
+            os.remove(os.path.join(leaf, f))
+        for f in os.listdir(f"{out}/_tmpleaf"):
+            if f.endswith(".parquet"):
+                os.rename(f"{out}/_tmpleaf/{f}", os.path.join(leaf, f"compacted-{f}"))
+        _sh.rmtree(f"{out}/_tmpleaf")
+        # and an ingest orphan in the INTACT leaf B — must stay invisible
+        _write_batch(spark, out, [("B", 99)])
+
+        snap, _listing = heal_snapshot(out)
+        assert snap is not None and snap["op"] == "heal"
+        got = sorted(r["x"] for r in S.read_table_at(spark, out, "nodes").collect())
+        assert got == [1, 2]  # leaf A healed, orphan 99 not adopted
+        assert S.read_table_at(spark, out, "nodes").count() == n0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_expire_with_table_subset_preserves_other_tables(spark):
+    """expire_snapshots(tables=('nodes',)) must not erase edges history
+    from the rebased boundary snapshot (code-review r5)."""
+    out = tempfile.mkdtemp(prefix="snap_subset_")
+    try:
+        pre = S.list_data_files(out)
+        _write_batch(spark, out, [("A", 1)])
+        spark.createDataFrame([("A", 7)], "idspace string, y int").write.mode("append").partitionBy(
+            "idspace"
+        ).parquet(f"{out}/edges")
+        s1, post1 = _commit_delta(out, pre)
+        _write_batch(spark, out, [("A", 2)])
+        s2, _ = _commit_delta(out, post1)
+
+        S.expire_snapshots(out, keep_last=1, tables=("nodes",))
+        assert S.read_table_at(spark, out, "edges").count() == 1  # still referenced
+        assert S.read_table_at(spark, out, "nodes").count() == 2
+        # and a follow-up orphan sweep must not delete live edges files
+        assert S.remove_orphan_files(out) == 0
+        assert S.read_table_at(spark, out, "edges").count() == 1
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
