@@ -29,7 +29,10 @@ from fastobo_py_spark.schema import CORPUS_SCHEMA
 
 def _process_batch(out_dir: str, n_salts: int):
     def fn(batch_df: DataFrame, batch_id: int) -> None:
+        from fastobo_py_spark.plans import snapshots as _snap
+
         spark = batch_df.sparkSession
+        pre_files = _snap.list_data_files(out_dir)
         # collect every persist for the finally block: a continuous stream
         # re-enters this fn every micro-batch, and a FAILED batch (write
         # error, lost executor) that raised past plain unpersist calls
@@ -49,6 +52,18 @@ def _process_batch(out_dir: str, n_salts: int):
             nodes.write.mode("append").partitionBy("idspace").parquet(os.path.join(out_dir, "nodes"))
             with_salt(edges, "subj", n_salts).write.mode("append").partitionBy("idspace", "salt").parquet(
                 os.path.join(out_dir, "edges")
+            )
+            # same snapshot visibility contract as the batch pipeline:
+            # one atomic commit per micro-batch. A checkpoint-replayed
+            # batch appends duplicate doc_sha-keyed files and commits
+            # again — readers dedup by key, identical to the batch
+            # manifest's idempotent-rerun semantics.
+            post_files = _snap.list_data_files(out_dir)
+            _snap.commit_snapshot(
+                out_dir,
+                added={t: sorted(post_files[t] - pre_files.get(t, set())) for t in _snap.TABLES},
+                op="stream-append",
+                batch_id=str(batch_id),
             )
         finally:
             for c in caches:

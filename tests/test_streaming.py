@@ -147,6 +147,17 @@ def test_stream_build_kg_matches_batch_and_oracle(spark):
         want = oracle.edge_key_set(oracle.build_edges(rows, canonicalize=True))
         p, r = oracle.precision_recall(got, want)
         assert (p, r) == (1.0, 1.0), f"precision={p} recall={r}"
+        # every micro-batch committed a snapshot; HEAD reads == plain reads,
+        # and an earlier snapshot sees a strict prefix of the edge set
+        from fastobo_py_spark.plans import snapshots as S
+
+        snaps = S.list_snapshots(f"{base}/out")
+        assert len(snaps) >= 2 and all(s["op"] == "stream-append" for s in snaps)
+        assert S.read_table_at(spark, f"{base}/out", "edges").count() == len(got)
+        first_n = S.read_table_at(
+            spark, f"{base}/out", "edges", snapshot_id=snaps[0]["snapshot_id"]
+        ).count()
+        assert 0 < first_n < len(got)
         # restart against the same checkpoint: no duplicate appends
         stream_build_kg(spark, corpus_dir, f"{base}/out", f"{base}/ckpt", max_files_per_trigger=2)
         n_after = spark.read.parquet(f"{base}/out/edges").count()
