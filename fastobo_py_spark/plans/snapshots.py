@@ -456,3 +456,48 @@ def rewrite_data_files(
         snap = commit_snapshot(out_dir, added=added, removed=removed, op="replace")
         stats["snapshot_id"] = snap["snapshot_id"]
     return stats
+
+
+def snapshots_table(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Iceberg's ``table$snapshots`` metadata table: one row per retained
+    snapshot (id, sequence, parent, op, batch, commit time, per-table
+    added/removed file counts), newest first."""
+    rows = [
+        (
+            s["snapshot_id"],
+            int(s["sequence"]),
+            s["parent_id"],
+            s["op"],
+            s.get("batch_id"),
+            int(s["created_at_ms"]),
+            {t: len(fs) for t, fs in s["added"].items()},
+            {t: len(fs) for t, fs in s["removed"].items()},
+            s["snapshot_id"] == current_snapshot_id(out_dir),
+        )
+        for s in list_snapshots(out_dir)
+    ]
+    from pyspark.sql import functions as F
+
+    schema = (
+        "snapshot_id string, sequence int, parent_id string, op string, "
+        "batch_id string, created_at_ms long, added_files map<string,int>, "
+        "removed_files map<string,int>, is_current boolean"
+    )
+    return spark.createDataFrame(rows, schema).orderBy(F.col("sequence").desc())
+
+
+def files_table(
+    spark: SparkSession, out_dir: str, snapshot_id: str | None = None, tables: tuple = TABLES
+) -> DataFrame:
+    """Iceberg's ``table$files``: one row per data file in a snapshot
+    (default HEAD) with its table, partition leaf, and on-disk size —
+    the observability view behind compaction decisions."""
+    rows = []
+    for t in tables:
+        for rel in resolve_files(out_dir, t, snapshot_id):
+            p = os.path.join(out_dir, rel)
+            size = os.path.getsize(p) if os.path.exists(p) else None
+            rows.append((t, rel, os.path.dirname(rel), size))
+    return spark.createDataFrame(
+        rows, "table string, path string, leaf string, bytes long"
+    )

@@ -324,3 +324,29 @@ def test_expire_with_table_subset_preserves_other_tables(spark):
         assert S.read_table_at(spark, out, "edges").count() == 1
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_metadata_tables(spark):
+    """snapshots_table / files_table metadata views (Iceberg's
+    table$snapshots / table$files): current flag, delta counts, per-file
+    sizes, and historical file sets by snapshot id."""
+    out = tempfile.mkdtemp(prefix="snap_meta_")
+    try:
+        pre = S.list_data_files(out)
+        _write_batch(spark, out, [("A", 1)])
+        s1, post1 = _commit_delta(out, pre)
+        _write_batch(spark, out, [("B", 2)])
+        s2, _ = _commit_delta(out, post1)
+
+        meta = S.snapshots_table(spark, out).collect()
+        assert [r["snapshot_id"] for r in meta] == [s2["snapshot_id"], s1["snapshot_id"]]
+        assert [r["is_current"] for r in meta] == [True, False]
+        assert all(r["added_files"]["nodes"] >= 1 for r in meta)
+
+        files_head = S.files_table(spark, out).collect()
+        files_s1 = S.files_table(spark, out, snapshot_id=s1["snapshot_id"]).collect()
+        assert len(files_s1) < len(files_head)
+        assert all(r["bytes"] > 0 and r["table"] == "nodes" for r in files_head)
+        assert all(r["leaf"].startswith("nodes/idspace=") for r in files_head)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
