@@ -139,6 +139,7 @@ def _timed_kg_flow(spark, corpus, n_files: int) -> dict:
     from pyspark.sql import functions as F
 
     from fastobo_py_spark.operators.parse import parse_corpus, split_parsed
+    from fastobo_py_spark.operators.surrogate import with_doc_key
     from fastobo_py_spark.plans.pipeline import canonical_edges
 
     cpu0 = _tree_cpu_seconds()
@@ -146,12 +147,15 @@ def _timed_kg_flow(spark, corpus, n_files: int) -> dict:
     clauses, _ = split_parsed(parse_corpus(corpus))
     # cache exactly what the edge job consumes: narrow columns, and only
     # the edge/alias/macro tag rows (name/def rows feed the node path,
-    # not this chain); hash-partition by doc_sha so every doc-keyed join
-    # and the final dedup need no further exchange of the edge table
+    # not this chain); hash-partition by the BIGINT doc_key surrogate so
+    # every doc-keyed join and the final dedup need no further exchange
+    # of the edge table (operators/surrogate.py)
     clauses = (
-        clauses.where((F.col("frame_type") == "Header") | F.col("tag").isin(_EDGE_TAGS))
-        .select("doc_sha", "frame_type", "frame_id", "frame_ix", "clause_ix", "tag", "v1", "v2", "value_text")
-        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_sha")
+        with_doc_key(
+            clauses.where((F.col("frame_type") == "Header") | F.col("tag").isin(_EDGE_TAGS))
+            .select("doc_sha", "frame_type", "frame_id", "frame_ix", "clause_ix", "tag", "v1", "v2", "value_text")
+        )
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_key")
         .persist()
     )
     clauses.count()

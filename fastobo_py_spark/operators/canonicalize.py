@@ -177,10 +177,17 @@ def resolution_map(clauses: DataFrame, max_hops: int = 3, driver_threshold: int 
     return resolution_map_distributed(clauses, max_hops)
 
 
-def combined_map_distributed(dims: DataFrame, max_hops: int = 3) -> DataFrame:
+def combined_map_distributed(
+    dims: DataFrame, max_hops: int = 3, key_col: str = "doc_sha"
+) -> DataFrame:
     """The FUSED canonicalization map — alias/obsolete resolution composed
     with equivalence component labels — in ONE exchange + ONE
     partition-wide kernel.
+
+    ``key_col`` is the document key the kernel shards and emits on:
+    ``doc_sha`` (string spine) or ``doc_key`` (the BIGINT surrogate,
+    operators/surrogate.py) — the surrogate also shrinks the Arrow
+    transfer into the kernel by ~80 bytes/row.
 
     Semantically identical to ``fuse_resolution_components(
     resolution_map_distributed(dims), equivalence_components_from_clauses(
@@ -210,7 +217,7 @@ def combined_map_distributed(dims: DataFrame, max_hops: int = 3) -> DataFrame:
         docs: dict = {}
         for pdf in batches:
             for sha, ftype, fid, tag, v1, fix, cix in zip(
-                pdf["doc_sha"], pdf["frame_type"], pdf["frame_id"],
+                pdf[key_col], pdf["frame_type"], pdf["frame_id"],
                 pdf["tag"], pdf["v1"], pdf["frame_ix"], pdf["clause_ix"],
             ):
                 if v1 is None:
@@ -277,27 +284,28 @@ def combined_map_distributed(dims: DataFrame, max_hops: int = 3) -> DataFrame:
                 if v not in res and v != c:
                     out.append((sha, v, c))
         if out:
-            yield pd.DataFrame(out, columns=["doc_sha", "old", "new"])
+            yield pd.DataFrame(out, columns=[key_col, "old", "new"])
 
     n = int(dims.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    cols = ["doc_sha", "frame_type", "frame_id", "tag", "v1", "frame_ix", "clause_ix"]
+    cols = [key_col, "frame_type", "frame_id", "tag", "v1", "frame_ix", "clause_ix"]
     hdr = F.col("frame_type") == "Header"
     # xref rows dominate the dims volume but only those covered by a
     # treat-xrefs-as-equivalent macro ever matter — filter them with a
     # vectorized JVM semi-join BEFORE anything reaches Python (looping
     # every xref row through the kernel cost more than the whole edge job)
     eq_hdr = dims.where(hdr & (F.col("tag") == "treat-xrefs-as-equivalent"))
-    spaces = eq_hdr.select(F.col("doc_sha").alias("__d"), F.col("v1").alias("__space")).hint(
+    spaces = eq_hdr.select(F.col(key_col).alias("__d"), F.col("v1").alias("__space")).hint(
         "shuffle_hash"
     )
     xr = dims.where(~hdr & (F.col("tag") == "xref"))
     xr_kept = xr.join(
-        spaces, (xr["doc_sha"] == F.col("__d")) & (ident_prefix(xr["v1"]) == F.col("__space")), "left_semi"
+        spaces, (xr[key_col] == F.col("__d")) & (ident_prefix(xr["v1"]) == F.col("__space")), "left_semi"
     )
     small = dims.where(~hdr & F.col("tag").isin("alt_id", "replaced_by", "equivalent_to"))
     proj = eq_hdr.select(*cols).unionByName(small.select(*cols)).unionByName(xr_kept.select(*cols))
-    return proj.repartition(n, "doc_sha").mapInPandas(
-        kernel, "doc_sha string, old string, new string"
+    key_type = "bigint" if key_col == "doc_key" else "string"
+    return proj.repartition(n, key_col).mapInPandas(
+        kernel, f"{key_col} {key_type}, old string, new string"
     )
 
 
@@ -338,6 +346,7 @@ def rewrite_edges(
     resolution: DataFrame | None = None,
     broadcast_threshold: int | None = None,
     strategy: str = "auto",
+    key_col: str = "doc_sha",
 ) -> DataFrame:
     """Canonicalize edge endpoints via the pre-composed resolution map —
     one equi-join per endpoint.
@@ -358,13 +367,13 @@ def rewrite_edges(
     m = resolution_map(clauses, max_hops) if resolution is None else resolution
     m = m.hint("shuffle_hash") if strategy == "shuffle_hash" else gated_broadcast(m, broadcast_threshold)
 
-    ms = m.withColumnRenamed("old", "__ks").withColumnRenamed("new", "__vs").withColumnRenamed("doc_sha", "__ds")
-    mo = m.withColumnRenamed("old", "__ko").withColumnRenamed("new", "__vo").withColumnRenamed("doc_sha", "__do")
+    ms = m.withColumnRenamed("old", "__ks").withColumnRenamed("new", "__vs").withColumnRenamed(key_col, "__ds")
+    mo = m.withColumnRenamed("old", "__ko").withColumnRenamed("new", "__vo").withColumnRenamed(key_col, "__do")
     out = (
-        edges.join(ms, (F.col("doc_sha") == F.col("__ds")) & (F.col("subj") == F.col("__ks")), "left")
+        edges.join(ms, (F.col(key_col) == F.col("__ds")) & (F.col("subj") == F.col("__ks")), "left")
         .withColumn("subj", F.coalesce(F.col("__vs"), F.col("subj")))
         .drop("__ks", "__vs", "__ds")
-        .join(mo, (F.col("doc_sha") == F.col("__do")) & (F.col("obj") == F.col("__ko")), "left")
+        .join(mo, (F.col(key_col) == F.col("__do")) & (F.col("obj") == F.col("__ko")), "left")
         .withColumn("obj", F.coalesce(F.col("__vo"), F.col("obj")))
         .drop("__ko", "__vo", "__do")
     )
@@ -375,21 +384,23 @@ def rewrite_edges(
 # O11: treat-xrefs header macros
 # ---------------------------------------------------------------------------
 
-def macro_table(clauses: DataFrame) -> DataFrame:
+def macro_table(clauses: DataFrame, doc_col: str = "doc_sha") -> DataFrame:
     """Normalize all treat-xrefs-* header clauses into one macro dim:
-    (doc_sha, kind, macro_idspace, rel, filler)."""
+    (doc_col, kind, macro_idspace, rel, filler). ``doc_col`` is the
+    document key the dim joins on — ``doc_sha`` (string spine) or
+    ``doc_key`` (the BIGINT surrogate spine, operators/surrogate.py)."""
     hdr = clauses.where(F.col("frame_type") == "Header")
     simple = hdr.where(
         F.col("tag").isin("treat-xrefs-as-equivalent", "treat-xrefs-as-is_a", "treat-xrefs-as-has-subclass")
     ).select(
-        "doc_sha",
+        doc_col,
         F.col("tag").alias("kind"),
         F.col("v1").alias("macro_idspace"),
         F.lit(None).cast("string").alias("rel"),
         F.lit(None).cast("string").alias("filler"),
     )
     rel = hdr.where(F.col("tag") == "treat-xrefs-as-relationship").select(
-        "doc_sha",
+        doc_col,
         F.col("tag").alias("kind"),
         F.col("v1").alias("macro_idspace"),
         F.col("v2").alias("rel"),
@@ -398,7 +409,7 @@ def macro_table(clauses: DataFrame) -> DataFrame:
     gd = hdr.where(
         F.col("tag").isin("treat-xrefs-as-genus-differentia", "treat-xrefs-as-reverse-genus-differentia")
     ).select(
-        "doc_sha",
+        doc_col,
         F.col("tag").alias("kind"),
         F.col("v1").alias("macro_idspace"),
         F.col("v2").alias("rel"),
@@ -436,7 +447,10 @@ def _macro_emit(kind, rel, filler, s, x):
 
 
 def extract_edges_with_macros(
-    clauses: DataFrame, strategy: str = "auto", macro_source: DataFrame | None = None
+    clauses: DataFrame,
+    strategy: str = "auto",
+    macro_source: DataFrame | None = None,
+    key_col: str = "doc_sha",
 ) -> DataFrame:
     """Single-pass triple extraction WITH treat-xrefs macro synthesis.
 
@@ -470,23 +484,23 @@ def extract_edges_with_macros(
     # duplicate re-emits the base edge, which the end-of-chain
     # dropDuplicates(EDGE_KEY) removes; pure CaseWhen/CreateArray keeps
     # the whole emission inside codegen.
-    mspace = macro_table(clauses if macro_source is None else macro_source).withColumnRenamed(
-        "doc_sha", "__d"
-    )
+    mspace = macro_table(
+        clauses if macro_source is None else macro_source, doc_col=key_col
+    ).withColumnRenamed(key_col, "__d")
     mspace = mspace.hint("shuffle_hash") if strategy == "shuffle_hash" else gated_broadcast(mspace)
 
     joined = ent.join(
         mspace,
-        (ent["doc_sha"] == mspace["__d"]) & (t == "xref") & (ident_prefix(v1) == mspace["macro_idspace"]),
+        (ent[key_col] == mspace["__d"]) & (t == "xref") & (ident_prefix(v1) == mspace["macro_idspace"]),
         "left",
     )
     synth = _macro_emit(F.col("kind"), F.col("rel"), F.col("filler"), fid, v1)
-    edges = joined.select("doc_sha", F.explode(F.concat(base, synth)).alias("e")).select(
+    edges = joined.select(key_col, F.explode(F.concat(base, synth)).alias("e")).select(
         F.col("e.s").alias("subj"),
         F.col("e.p").alias("pred"),
         F.col("e.o").alias("obj"),
         F.col("e.st").alias("src_tag"),
-        "doc_sha",
+        key_col,
     )
     return edges.withColumn("idspace", edge_idspace(F.col("subj")))
 

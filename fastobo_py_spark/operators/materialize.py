@@ -32,7 +32,12 @@ def build_nodes(clauses: DataFrame) -> DataFrame:
 
     ent = clauses.where((F.col("frame_type") != "Header") & (F.col("frame_id") != ""))
     t = F.col("tag")
-    nodes = ent.groupBy("doc_sha", F.col("frame_id").alias("id")).agg(
+    # When the cache carries the doc_key surrogate (and is hash-partitioned
+    # on it), grouping by it too keeps this aggregate exchange-free.
+    # Exact: doc_key is a function of doc_sha, so the extra key can never
+    # split a (doc_sha, frame_id) group.
+    extra_keys = ["doc_key"] if "doc_key" in clauses.columns else []
+    nodes = ent.groupBy(*extra_keys, "doc_sha", F.col("frame_id").alias("id")).agg(
         F.max(F.when(t == "name", F.col("value_text"))).alias("name"),
         F.max(F.when(t == "namespace", F.col("v1"))).alias("namespace"),
         F.max(F.when(t == "def", F.col("value_text"))).alias("definition"),
@@ -50,6 +55,8 @@ def build_nodes(clauses: DataFrame) -> DataFrame:
         F.max(F.when(t == "created_by", F.col("v1"))).alias("created_by"),
         F.max(F.col("frame_type")).alias("frame_type"),
     )
+    if extra_keys:
+        nodes = nodes.drop(*extra_keys)
     return nodes.withColumn("idspace", edge_idspace(F.col("id"))).withColumn(
         "creation_date_us", F.unix_micros(parse_creation_date(F.col("creation_date")))
     )

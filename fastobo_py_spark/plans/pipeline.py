@@ -36,8 +36,10 @@ from fastobo_py_spark.operators.triples import extract_edges
 
 MANIFEST_COLS = ("doc_sha", "repo", "path", "commit")
 
-# the edge dedup + every doc-keyed join key off doc_sha — the clause cache
-# is hash-partitioned on it once, and nothing downstream re-shuffles
+# the canonical-edge identity; the non-canonicalized path dedups on it
+# directly, the shuffle_hash chain dedups on the doc_key surrogate twin
+# (see _dedup_edges) — either way the clause cache is hash-partitioned on
+# its doc key once, and nothing downstream re-shuffles the edge table
 EDGE_KEY = ["subj", "pred", "obj", "doc_sha"]
 
 
@@ -48,9 +50,10 @@ def canonical_edges(
 
     strategy='shuffle_hash' (the 10^12-file default): every dimension —
     macro table, resolution map, component labels — flows as a
-    doc_sha-co-partitioned shuffle-hash join against the already-
+    doc-key-co-partitioned shuffle-hash join against the already-
     partitioned clause cache, and the resolution/CC computations shard
-    per document via applyInPandas. ZERO driver collects, ZERO broadcast
+    per document inside one partition-wide mapInPandas kernel. ZERO
+    driver collects, ZERO broadcast
     builds, so the job's serial fraction is two job submissions no matter
     the corpus size. strategy='auto' keeps the scale-adaptive driver
     shortcuts + gated broadcasts (fastest for interactive small corpora).
@@ -60,6 +63,16 @@ def canonical_edges(
     the edge table is materialized. Long-lived sessions — above all the
     streaming path, which enters once per micro-batch — MUST pass a list
     and clean up, or the CacheManager accumulates three relations per call.
+
+    Spine key: the shuffle_hash path runs on the BIGINT surrogate
+    ``doc_key = xxhash64(doc_sha)`` (operators/surrogate.py) — the 64-hex
+    doc_sha is pruned off every join/explode/aggregate row and restored
+    by one co-partitioned dictionary join at the end (collision math and
+    the audit helper live in the surrogate module; ``strategy='auto'``
+    is the exact string-spine twin). Callers should hash-partition the
+    clause cache on ``doc_key``; a cache without the column is healed
+    here (at the cost of the joins re-exchanging, same as any
+    mispartitioned input).
     """
     from fastobo_py_spark.operators.canonicalize import (
         combined_map_distributed,
@@ -68,8 +81,12 @@ def canonical_edges(
         resolution_map,
     )
     from fastobo_py_spark.operators.components import equivalence_components_from_clauses
+    from fastobo_py_spark.operators.surrogate import with_doc_key
 
     shj = strategy == "shuffle_hash"
+    key = "doc_key" if shj else "doc_sha"
+    if shj:
+        clauses = with_doc_key(clauses)
     # The dim builders (macro table, alias/replacement map, equivalence
     # pairs) each rescan their input; against the full clause cache that
     # was ~5 extra full-table scans — the measured bulk of the graph
@@ -94,7 +111,7 @@ def canonical_edges(
         # ~10 serial stage boundaries over kilobyte dim tables were the
         # measured constant term dominating the graph stage's N→4N loss.
         # The edge table then sees two left joins (subj, obj), not four.
-        combined = combined_map_distributed(dims).persist()
+        combined = combined_map_distributed(dims, key_col=key).persist()
         if persisted_out is not None:
             persisted_out.append(combined)
     else:
@@ -102,10 +119,17 @@ def canonical_edges(
         comps = equivalence_components_from_clauses(dims, resolution=res, strategy=strategy)
         combined = fuse_resolution_components(res, comps)
     # macro synthesis is FUSED into the extraction pass (no union) so the
-    # clause cache's doc_sha partitioning survives to the final dedup
-    e = extract_edges_with_macros(clauses, strategy=strategy, macro_source=dims)
-    e = rewrite_edges(e, clauses, resolution=combined, strategy=strategy)
-    return _dedup_edges(e)
+    # clause cache's doc-key partitioning survives to the final dedup
+    e = extract_edges_with_macros(clauses, strategy=strategy, macro_source=dims, key_col=key)
+    e = rewrite_edges(e, clauses, resolution=combined, strategy=strategy, key_col=key)
+    if not shj:
+        return _dedup_edges(e)
+    # decode the surrogate back to doc_sha: the dictionary is one row per
+    # document (exchange-free aggregate over the already-partitioned
+    # cache), and the edge side keeps its doc_key partitioning through
+    # the dedup aggregate, so this final join exchanges only the dict
+    doc_dict = clauses.select("doc_key", "doc_sha").distinct()
+    return _dedup_edges(e, key_col=key, doc_dict=doc_dict)
 
 
 # src_tag is a CLOSED 8-value set (triples._SIMPLE_EDGE_TAGS +
@@ -118,7 +142,7 @@ _SRC_TAG_ORDER = (
 )
 
 
-def _dedup_edges(e: DataFrame) -> DataFrame:
+def _dedup_edges(e: DataFrame, key_col: str = "doc_sha", doc_dict: DataFrame | None = None) -> DataFrame:
     """Per-doc edge dedup as a HashAggregate.
 
     ``dropDuplicates(EDGE_KEY)`` carries the src_tag/idspace STRINGS in
@@ -130,6 +154,12 @@ def _dedup_edges(e: DataFrame) -> DataFrame:
     and idspace is re-derived from the FINAL subj — also more correct:
     the extraction-time value went stale when alias/equivalence rewrites
     changed the endpoint.
+
+    On the surrogate spine (``key_col='doc_key'``) the aggregate hashes a
+    BIGINT instead of the 64-hex doc_sha, and ``doc_dict`` (doc_key →
+    doc_sha, one row per document) restores the output column with a
+    shuffle-hash join that exchanges only the dict — the edge side still
+    carries the aggregate's doc_key partitioning.
     """
     enc = F.lit(None).cast("tinyint")
     for i, tag in reversed(list(enumerate(_SRC_TAG_ORDER))):
@@ -137,14 +167,16 @@ def _dedup_edges(e: DataFrame) -> DataFrame:
     dec = F.lit(None).cast("string")
     for i, tag in enumerate(_SRC_TAG_ORDER):
         dec = F.when(F.col("__tc") == i, F.lit(tag)).otherwise(dec)
-    return (
+    deduped = (
         e.withColumn("__tc", enc)
-        .groupBy("subj", "pred", "obj", "doc_sha")
+        .groupBy("subj", "pred", "obj", key_col)
         .agg(F.min("__tc").alias("__tc"))
-        .select(
-            "subj", "pred", "obj", dec.alias("src_tag"), "doc_sha",
-            edge_idspace(F.col("subj")).alias("idspace"),
-        )
+    )
+    if doc_dict is not None:
+        deduped = deduped.join(doc_dict.hint("shuffle_hash"), key_col, "inner")
+    return deduped.select(
+        "subj", "pred", "obj", dec.alias("src_tag"), "doc_sha",
+        edge_idspace(F.col("subj")).alias("idspace"),
     )
 
 
@@ -388,10 +420,14 @@ def run_pipeline(
     quarantine.write.mode("append").parquet(os.path.join(out_dir, "quarantine"))
 
     # one pass over the corpus feeds every downstream stage; hash-partition
-    # by doc_sha so every doc-keyed operation downstream (incl. the final
-    # dedup, whose keys contain doc_sha) is satisfied without re-shuffling
+    # by the BIGINT doc_key surrogate so every doc-keyed operation
+    # downstream (the canonical chain's joins and final dedup, the node
+    # build, the decode dictionary) is satisfied without re-shuffling —
+    # and the partitioner hashes 8 bytes instead of the 64-hex doc_sha
+    from fastobo_py_spark.operators.surrogate import with_doc_key
+
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    clauses = clauses.repartition(n_shuffle, "doc_sha").persist()
+    clauses = with_doc_key(clauses).repartition(n_shuffle, "doc_key").persist()
 
     caches: list[DataFrame] = []
     if canonicalize:

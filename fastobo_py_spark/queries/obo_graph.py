@@ -232,12 +232,13 @@ def q_obo_ancestors(spark: SparkSession, sf: str) -> DataFrame:
     of the closure algorithm itself."""
     from fastobo_py_spark.operators.graph import transitive_ancestors
     from fastobo_py_spark.operators.idents import edge_idspace
+    from fastobo_py_spark.operators.surrogate import with_doc_key
     from fastobo_py_spark.plans.pipeline import canonical_edges
 
     cl = _clauses(spark)
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     caches: list = []
-    e = canonical_edges(cl.repartition(n, "doc_sha"), strategy="shuffle_hash", persisted_out=caches)
+    e = canonical_edges(with_doc_key(cl).repartition(n, "doc_key"), strategy="shuffle_hash", persisted_out=caches)
     anc = transitive_ancestors(e)
     out = (
         anc.select(edge_idspace(F.col("id")).alias("idspace"), "id")
@@ -297,12 +298,13 @@ def q_obo_ancestors_seeded(spark: SparkSession, sf: str) -> DataFrame:
     recursive CTE and min(depth) — a cross-engine check of BFS min-depth
     semantics, not just reachability."""
     from fastobo_py_spark.operators.graph import ancestors_of
+    from fastobo_py_spark.operators.surrogate import with_doc_key
     from fastobo_py_spark.plans.pipeline import canonical_edges
 
     cl = _clauses(spark)
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     caches: list = []
-    e = canonical_edges(cl.repartition(n, "doc_sha"), strategy="shuffle_hash", persisted_out=caches)
+    e = canonical_edges(with_doc_key(cl).repartition(n, "doc_key"), strategy="shuffle_hash", persisted_out=caches)
     seeds = (
         e.where(F.col("pred") == "is_a")
         .select(F.col("subj").alias("id"))
@@ -370,12 +372,13 @@ def q_obo_descendants_seeded(spark: SparkSession, sf: str) -> DataFrame:
     DuckDB oracle walks downward independently with a depth-carrying
     recursive CTE + min(depth)."""
     from fastobo_py_spark.operators.graph import descendants_of
+    from fastobo_py_spark.operators.surrogate import with_doc_key
     from fastobo_py_spark.plans.pipeline import canonical_edges
 
     cl = _clauses(spark)
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     caches: list = []
-    e = canonical_edges(cl.repartition(n, "doc_sha"), strategy="shuffle_hash", persisted_out=caches)
+    e = canonical_edges(with_doc_key(cl).repartition(n, "doc_key"), strategy="shuffle_hash", persisted_out=caches)
     seeds = (
         e.where(F.col("pred") == "is_a")
         .select(F.col("obj").alias("id"))

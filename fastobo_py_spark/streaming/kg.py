@@ -45,7 +45,12 @@ def _process_batch(out_dir: str, n_salts: int):
             clauses, quarantine = split_parsed(parsed)
             quarantine.write.mode("append").parquet(os.path.join(out_dir, "quarantine"))
             n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            clauses = clauses.repartition(n_shuffle, "doc_sha").persist()
+            # same cache contract as the batch pipeline: BIGINT doc_key
+            # surrogate spine (deterministic xxhash64, so micro-batches
+            # agree with earlier output), hash-partitioned on it
+            from fastobo_py_spark.operators.surrogate import with_doc_key
+
+            clauses = with_doc_key(clauses).repartition(n_shuffle, "doc_key").persist()
             caches.append(clauses)
             edges = canonical_edges(clauses, strategy="shuffle_hash", persisted_out=caches)
             nodes = build_nodes(clauses)

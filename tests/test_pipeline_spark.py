@@ -269,17 +269,57 @@ def test_pipeline_resume_with_gzip_rows(spark):
 
 
 def test_canonical_edges_auto_matches_shuffle_hash(spark, clauses, corpus_rows):
-    """Both join strategies of the shared flow produce the oracle set."""
+    """Both join strategies of the shared flow produce the oracle set —
+    the exact-string spine (auto) and the BIGINT doc_key surrogate spine
+    (shuffle_hash) cannot drift from each other or from the oracle."""
     from fastobo_py_spark.plans.pipeline import canonical_edges
 
     cl = clauses.repartition(4, "doc_sha")
-    got = {
+    got_auto = {
         (r["subj"], r["pred"], r["obj"], r["doc_sha"])
         for r in canonical_edges(cl, strategy="auto").collect()
     }
+    got_shj = {
+        (r["subj"], r["pred"], r["obj"], r["doc_sha"])
+        for r in canonical_edges(cl, strategy="shuffle_hash").collect()
+    }
+    assert got_auto == got_shj, "string spine and surrogate spine diverged"
     want = oracle.edge_key_set(oracle.build_edges(corpus_rows, canonicalize=True))
-    p, r = oracle.precision_recall(got, want)
+    p, r = oracle.precision_recall(got_auto, want)
     assert (p, r) == (1.0, 1.0), f"precision={p} recall={r}"
+
+
+def test_doc_key_surrogate_contract(spark, clauses):
+    """The surrogate module's three contracts: doc_key is deterministic
+    (same doc_sha → same BIGINT everywhere), with_doc_key is idempotent,
+    and audit_doc_keys reports exactly the doc_keys claimed by >1
+    distinct doc_sha (none on a real corpus; a planted collision row is
+    reported with both shas)."""
+    from fastobo_py_spark.operators.surrogate import audit_doc_keys, with_doc_key
+
+    keyed = with_doc_key(clauses.select("doc_sha").distinct())
+    # idempotent: second call is a no-op (same plan, same columns)
+    again = with_doc_key(keyed)
+    assert again.columns == keyed.columns
+    # deterministic: re-deriving from scratch yields identical pairs
+    pairs = {(r["doc_sha"], r["doc_key"]) for r in keyed.collect()}
+    pairs2 = {
+        (r["doc_sha"], r["doc_key"])
+        for r in with_doc_key(clauses.select("doc_sha").distinct()).collect()
+    }
+    assert pairs == pairs2 and len({k for _, k in pairs}) == len(pairs)
+    # clean corpus: no collisions
+    assert audit_doc_keys(clauses).count() == 0
+    # planted collision (pre-set doc_key passes through with_doc_key):
+    # two distinct doc_shas on one doc_key must be reported together
+    planted = spark.createDataFrame(
+        [("sha_a", 7), ("sha_a", 7), ("sha_b", 7), ("sha_c", 9)],
+        "doc_sha string, doc_key long",
+    )
+    rows = audit_doc_keys(planted).collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_key"] == 7 and rows[0]["n_docs"] == 2
+    assert rows[0]["doc_shas"] == ["sha_a", "sha_b"]
 
 
 def test_canonical_edges_larger_corpus_vs_oracle(spark):

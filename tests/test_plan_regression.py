@@ -1,7 +1,9 @@
 """Physical-plan regression guards for the shuffle_hash canonical chain.
 
 Round 2's hardest-won property: with the clause cache hash-partitioned on
-doc_sha and ``spark.sql.requireAllClusterKeysForCoPartition=false``, the
+the document key (round 5: the BIGINT ``doc_key`` surrogate,
+operators/surrogate.py) and ``spark.sql.requireAllClusterKeysForCoPartition
+=false``, the
 ENTIRE canonical chain (macro-fused extraction → resolution rewrite → CC
 rewrite → final dedup) runs with ZERO exchanges of the edge table — only
 the tiny dimension sides shuffle. Nothing in the test suite failed when a
@@ -19,7 +21,7 @@ Checked invariants (PLANS.md documents the same in prose):
      partition-wide kernels exist across the persisted relations: the
      corpus parse and the fused canonicalization-map kernel (resolution
      composition + equivalence union-find in one call, over the
-     doc_sha-repartitioned DIMS).
+     doc_key-repartitioned DIMS).
 
 AQE is disabled for the plan build: the co-partitioning property is
 static (EnsureRequirements), and a stage-less tree is walkable without
@@ -47,9 +49,14 @@ def _walk(node):
 def chain_plan(spark, clauses):
     from pyspark.sql import functions as F
 
+    from fastobo_py_spark.operators.surrogate import with_doc_key
     from fastobo_py_spark.plans.pipeline import canonical_edges
 
-    cl = clauses.repartition(4, "doc_sha").persist()
+    # The round-5 cache contract: carry the BIGINT doc_key surrogate and
+    # hash-partition on it (run_pipeline does the same) — the whole
+    # shuffle_hash chain then joins/aggregates on doc_key, and doc_sha is
+    # restored by the decode dictionary join at the end.
+    cl = with_doc_key(clauses).repartition(4, "doc_key").persist()
     cl.count()
     old = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -135,11 +142,15 @@ def test_python_kernels_live_only_inside_dim_caches(chain_plan):
 def test_final_dedup_reuses_cache_partitioning(chain_plan):
     """The dropDuplicates aggregate pair sits on the spine with no
     Exchange between it and the joins (ClusteredDistribution on the edge
-    key is satisfied by the cache's doc_sha subset partitioning)."""
+    key is satisfied by the cache's doc_key subset partitioning). Above
+    it sits exactly ONE join — the doc_key→doc_sha decode-dictionary
+    join — and nothing between root, decode join, and aggregate
+    exchanges the edge table."""
     spine = [n.nodeName() for n in _edge_spine(chain_plan)]
-    first_join = next(i for i, n in enumerate(spine) if "Join" in n)
-    head = spine[:first_join]
-    assert any("Aggregate" in n for n in head), f"dedup aggregate not above joins: {head}"
+    first_agg = next(i for i, n in enumerate(spine) if "Aggregate" in n)
+    head = spine[:first_agg]
+    decode_joins = [n for n in head if "Join" in n]
+    assert len(decode_joins) == 1, f"expected only the decode join above the dedup aggregate: {head}"
     assert not any("Exchange" in n for n in head)
 
 

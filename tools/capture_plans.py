@@ -43,14 +43,17 @@ def main() -> None:
 
     from fastobo_py_spark.plans.pipeline import canonical_edges
 
-    cl2 = clauses.repartition(8, "doc_sha").persist()
+    from fastobo_py_spark.operators.surrogate import with_doc_key
+
+    cl2 = with_doc_key(clauses).repartition(8, "doc_key").persist()
     cl2.count()
     show(
         "Full canonical chain, strategy=shuffle_hash — the 10^12-file plan: ONE "
         "partition-wide MapInPandas kernel computes the fused canonicalization map "
-        "over doc_sha-repartitioned dims, every dim a doc_sha-co-partitioned "
-        "ShuffledHashJoin, ZERO exchanges of the edge table (only dim sides "
-        "shuffle), final dedup is a HashAggregate reusing the cache partitioning",
+        "over doc_key-repartitioned dims (BIGINT surrogate spine), every dim a "
+        "doc_key-co-partitioned ShuffledHashJoin, ZERO exchanges of the edge table "
+        "(only dim sides shuffle), final dedup is a HashAggregate reusing the cache "
+        "partitioning, doc_sha restored by one co-partitioned dictionary join",
         canonical_edges(cl2, strategy="shuffle_hash"),
     )
     show("TPC-H Q5 shape (dims broadcast, AQE shuffles)", q_region_revenue(spark, "/root/testdata/sf0.001"))
@@ -72,15 +75,18 @@ with `python tools/capture_plans.py`). What to look for, per the
   maps, resolution map, CC components, TPC-H dims) — no shuffle of the
   big side. The production pipeline instead uses strategy=shuffle_hash:
   **ShuffledHashJoin** with the edge side reusing the clause cache's
-  doc_sha hash partitioning (requireAllClusterKeysForCoPartition=false),
-  so ONLY the tiny dim side exchanges — nothing is driver-bounded and
-  the edge table is never re-shuffled.
+  hash partitioning on the BIGINT ``doc_key = xxhash64(doc_sha)``
+  surrogate (operators/surrogate.py;
+  requireAllClusterKeysForCoPartition=false), so ONLY the tiny dim side
+  exchanges — nothing is driver-bounded and the edge table is never
+  re-shuffled. doc_sha is restored by one co-partitioned dictionary
+  join above the final dedup.
 * **WholeStageCodegen** spans covering the extraction/linking projections
   — the CORPUS-sized hot path crosses into Python exactly once (the Arrow
   parse MapInPandas, inside the clause cache); the only other Python
   crossing is the single fused canonicalization kernel (resolution ∘ CC
   map, canonicalize.combined_map_distributed), which runs
-  over the doc_sha-repartitioned alias/equivalence DIMS — a vanishing
+  over the doc_key-repartitioned alias/equivalence DIMS — a vanishing
   fraction of the corpus (tests/test_plan_regression.py enforces both).
 * **AQE** (AdaptiveSparkPlan) wrapping every shuffle so skewed ontology
   hubs re-plan at runtime.
