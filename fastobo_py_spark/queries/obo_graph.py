@@ -223,6 +223,70 @@ def sql_obo_time_travel() -> str:
     return _values_sql(sorted(out), ["metric", "value"])
 
 
+def q_obo_snapshot_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental (CDC-style) snapshot read, oracle-checked: after two
+    ingest batches, ``read_incremental(from=batch-1 snapshot)`` must
+    return EXACTLY the rows batch 2 appended — the "everything since my
+    last checkpoint" feed a downstream consumer reads without rescanning
+    the table — and must return the SAME rows again after a
+    non-destructive rewrite_data_files pass (the compaction's replace
+    snapshot is skipped by the append scan, like Iceberg's)."""
+    import shutil
+    import tempfile
+
+    from fastobo_py_spark.plans import snapshots as S
+    from fastobo_py_spark.plans.pipeline import run_pipeline
+
+    corpus = _corpus_df(spark)
+    out = tempfile.mkdtemp(prefix="kg_incr_q_")
+    try:
+        first = corpus.where(F.substring(F.md5(F.col("path")), 1, 1) < "8")
+        m1 = run_pipeline(spark, first, out, canonicalize=False)
+        run_pipeline(spark, corpus, out, canonicalize=False)
+        s1 = m1["snapshot_id"]
+
+        def counts(tag):
+            inc_e = S.read_incremental(spark, out, "edges", s1)
+            inc_n = S.read_incremental(spark, out, "nodes", s1)
+            return [
+                (f"inc_docs{tag}", inc_e.select("doc_sha").distinct().count()),
+                (f"inc_edges{tag}", inc_e.select("subj", "pred", "obj", "doc_sha").distinct().count()),
+                (f"inc_nodes{tag}", inc_n.count()),
+            ]
+
+        rows = counts("")
+        S.rewrite_data_files(spark, out, max_parts=0, target_bytes=1 << 30)
+        rows += counts("_postrw")
+        return spark.createDataFrame(rows, "metric string, value bigint").orderBy("metric")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def sql_obo_snapshot_incremental() -> str:
+    import hashlib as _hl
+
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    rows = generate_corpus(**_CORPUS_KW)
+    second = [r for r in rows if _hl.md5(r["path"].encode()).hexdigest()[0] >= "8"]
+
+    clauses, _ = oracle.parse_rows(second)
+    ix = oracle._IX
+    n_nodes = len(
+        {(c[0], c[3 + ix["frame_id"]]) for c in clauses if c[3] != "Header" and c[3 + ix["frame_id"]]}
+    )
+    edges = oracle.build_edges(second, canonicalize=False, apply_macros=True)
+    dist = {(s, p, o, sha) for s, p, o, _, sha in edges}
+    n_edges = len(dist)
+    n_docs = len({e[3] for e in dist})
+    out = [
+        ("inc_docs", n_docs), ("inc_edges", n_edges), ("inc_nodes", n_nodes),
+        ("inc_docs_postrw", n_docs), ("inc_edges_postrw", n_edges), ("inc_nodes_postrw", n_nodes),
+    ]
+    return _values_sql(sorted(out), ["metric", "value"])
+
+
 def q_obo_ancestors(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive is_a ancestor closure over the canonical KG — the
     classic downstream ontology query (reference users walk the AST in
@@ -354,6 +418,7 @@ QUERIES.update(
         "obo_graph_roundtrip": q_obo_graph_roundtrip,
         "obo_pipeline_resume": q_obo_pipeline_resume,
         "obo_time_travel": q_obo_time_travel,
+        "obo_snapshot_incremental": q_obo_snapshot_incremental,
     }
 )
 _GENERATED_ORACLES.update(
@@ -361,6 +426,7 @@ _GENERATED_ORACLES.update(
         "obo_graph_roundtrip": sql_obo_graph_roundtrip,
         "obo_pipeline_resume": sql_obo_pipeline_resume,
         "obo_time_travel": sql_obo_time_travel,
+        "obo_snapshot_incremental": sql_obo_snapshot_incremental,
     }
 )
 

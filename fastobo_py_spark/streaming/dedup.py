@@ -119,6 +119,101 @@ def stream_exact_dedup(docs: DataFrame, state_ttl_ms: int | None = None) -> Data
 
 
 # ---------------------------------------------------------------------------
+# Event-time TTL dedup — the DETERMINISTIC TTL (oracle-checkable)
+# ---------------------------------------------------------------------------
+
+TTL_OUTPUT = T.StructType(
+    [
+        T.StructField("fp", T.StringType()),
+        T.StructField("keep_id", T.LongType()),
+        T.StructField("emit_ts_us", T.LongType()),
+    ]
+)
+
+TTL_STATE = T.StructType([T.StructField("last_ts_us", T.LongType())])
+
+
+def _event_ttl_fn(ttl_us: int):
+    """Stateful kernel for the event-time sliding TTL: emit an event iff
+    its gap to the PREVIOUS same-fp event (in event time) exceeds
+    ``ttl_us`` — every event, emitted or suppressed, refreshes the clock.
+    For event-time-ordered arrival this equals the window expression
+    ``lag(ts) OVER (PARTITION BY fp ORDER BY ts)`` + gap filter, which is
+    exactly what the DuckDB oracle computes — processing-time TTL
+    (:func:`_with_ttl`) can never be oracle-checked because its clock is
+    the scheduler's."""
+
+    def fn(key: Tuple[Any, ...], batches: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            # watermark passed last_ts + TTL: every future event's gap
+            # exceeds the TTL and re-emits regardless of this state —
+            # dropping it cannot change any emission decision, which is
+            # what makes event-time eviction semantically invisible
+            state.remove()
+            return
+        rows = []
+        for pdf in batches:
+            for doc_id, ts in zip(pdf["doc_id"], pdf["event_ts_us"]):
+                rows.append((int(ts), int(doc_id)))
+        rows.sort()
+        last = int(state.get[0]) if state.exists else None
+        out = []
+        for ts, doc_id in rows:
+            if last is None or ts - last > ttl_us:
+                out.append((key[0], doc_id, ts))
+            last = ts if last is None else max(last, ts)
+        state.update((last,))
+        # evict once the watermark passes last_ts + TTL (ms clock; +1 to
+        # stay strictly ahead of the current watermark as Spark requires)
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last // 1000 + ttl_us // 1000 + 1, wm + 1))
+        if out:
+            yield pd.DataFrame(out, columns=["fp", "keep_id", "emit_ts_us"])
+
+    return fn
+
+
+def stream_exact_dedup_event_ttl(
+    docs: DataFrame, ttl_us: int, watermark_delay: str = "0 seconds"
+) -> DataFrame:
+    """Streaming exact dedup with a DETERMINISTIC sliding TTL on EVENT
+    time: one output row per (fp, event) whose gap to the previous
+    same-content event exceeds ``ttl_us``; closer repeats are suppressed
+    and still refresh the clock.
+
+    Unlike ``state_ttl_ms`` (processing-time TTL — the scheduler's clock,
+    inherently nondeterministic), the TTL here is part of the DATA
+    semantics: for in-order streams the drained output is a pure function
+    of (rows, ttl_us), independent of micro-batch boundaries, so a SQL
+    oracle (lag window + gap filter) can hash-check it row for row.
+
+    State is ONE BIGINT per active fingerprint, evicted by the WATERMARK
+    HORIZON via ``EventTimeTimeout``: once the watermark passes
+    ``last_ts + ttl`` the key's state is removed — any later event would
+    re-emit anyway, so eviction never changes output, it only bounds
+    state to fingerprints active within the TTL window. Late events
+    (arriving after same-fp events with later timestamps) are decided
+    against the newest timestamp seen, the standard streaming trade;
+    bound lateness with ``watermark_delay``.
+
+    Input: (doc_id, text, event_ts_us) plus an ``event_time`` TIMESTAMP
+    column is derived for the watermark.
+    """
+    keyed = (
+        docs.select(fingerprint(F.col("text")).alias("fp"), "doc_id", "event_ts_us")
+        .withColumn("event_time", F.timestamp_micros(F.col("event_ts_us")))
+        .withWatermark("event_time", watermark_delay)
+    )
+    return keyed.groupBy("fp").applyInPandasWithState(
+        _event_ttl_fn(ttl_us),
+        outputStructType=TTL_OUTPUT,
+        stateStructType=TTL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-batch NEAR-duplicate detection (MinHash LSH over the stream)
 # ---------------------------------------------------------------------------
 

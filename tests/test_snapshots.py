@@ -326,6 +326,50 @@ def test_expire_with_table_subset_preserves_other_tables(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_incremental_read_between_snapshots(spark):
+    """read_incremental = Iceberg's incremental append scan: exactly the
+    rows appended after `from` (exclusive) up to `to`/HEAD; replace
+    snapshots (rewrite_data_files) contribute nothing; from==to is empty;
+    divergent or expired `from` raises."""
+    out = tempfile.mkdtemp(prefix="snap_incr_")
+    try:
+        pre = S.list_data_files(out)
+        _write_batch(spark, out, [("A", 1), ("B", 2)])
+        s1, post1 = _commit_delta(out, pre)
+        _write_batch(spark, out, [("A", 3)])
+        s2, post2 = _commit_delta(out, post1)
+        _write_batch(spark, out, [("B", 4)])
+        s3, post3 = _commit_delta(out, post2)
+
+        inc = S.read_incremental(spark, out, "nodes", s1["snapshot_id"])
+        assert sorted(r["x"] for r in inc.collect()) == [3, 4]
+        # partition column survives (basePath scan shape)
+        assert {r["idspace"] for r in inc.collect()} == {"A", "B"}
+        # bounded range: (s1, s2] is just batch 2
+        mid = S.read_incremental(spark, out, "nodes", s1["snapshot_id"], s2["snapshot_id"])
+        assert [r["x"] for r in mid.collect()] == [3]
+        # empty range
+        assert (
+            S.read_incremental(spark, out, "nodes", s3["snapshot_id"]).count() == 0
+        )
+
+        # a non-destructive compaction (op=replace) must NOT re-deliver rows
+        S.rewrite_data_files(spark, out, max_parts=0, target_bytes=1 << 30)
+        inc2 = S.read_incremental(spark, out, "nodes", s1["snapshot_id"])
+        assert sorted(r["x"] for r in inc2.collect()) == [3, 4]
+
+        with pytest.raises(ValueError):
+            S.incremental_files(out, "nodes", "nonexistent000")
+        # divergent history: roll back to s1, commit a branch; s2 is no
+        # longer an ancestor of HEAD
+        S.rollback(out, s1["snapshot_id"])
+        S.commit_snapshot(out, added={t: [] for t in S.TABLES})  # HEAD branches off s1
+        with pytest.raises(ValueError, match="not an ancestor"):
+            S.incremental_files(out, "nodes", s2["snapshot_id"])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_metadata_tables(spark):
     """snapshots_table / files_table metadata views (Iceberg's
     table$snapshots / table$files): current flag, delta counts, per-file

@@ -363,6 +363,91 @@ def test_stream_exact_dedup_state_ttl(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_stream_event_ttl_dedup_deterministic(spark):
+    """The EVENT-time sliding TTL (stream_exact_dedup_event_ttl) is a pure
+    function of (rows, ttl): same input drained as ONE micro-batch and as
+    FOUR event-time-ordered micro-batches yields the identical row set —
+    the property that makes the dedup_stream_ttl oracle row checkable —
+    and the emissions are exactly the lag-gap rule: first arrival plus
+    every repeat whose gap to the previous same-content event > TTL
+    (suppressed repeats still refresh the clock: three 60-unit steps with
+    ttl=100 emit only the first)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_spark.streaming.dedup import stream_exact_dedup_event_ttl
+
+    base_us = 1_000_000_000
+    # fp A: gaps 60ms,60ms (both <= ttl → only first emits, but clock
+    # refreshes so the LAST event is 120ms from the first — a naive
+    # "gap to last EMITTED" rule would wrongly re-emit it)
+    # fp B: gaps 150ms,90ms (first repeat re-emits, second suppressed)
+    # fp C: single event
+    rows = [
+        (1, "aaa", base_us + 0),
+        (2, "bbb", base_us + 10_000),
+        (3, "aaa", base_us + 60_000),
+        (4, "ccc", base_us + 100_000),
+        (5, "aaa", base_us + 120_000),
+        (6, "bbb", base_us + 160_000),
+        (7, "bbb", base_us + 250_000),
+    ]
+    ttl_us = 100_000
+    want = {("aaa", 1), ("bbb", 2), ("ccc", 4), ("bbb", 6)}
+
+    def drain(n_slices):
+        base = tempfile.mkdtemp(prefix="stream_ettl_")
+        try:
+            src = os.path.join(base, "events")
+            os.makedirs(src)
+            per = (len(rows) + n_slices - 1) // n_slices
+            for i in range(n_slices):
+                chunk = rows[i * per : (i + 1) * per]
+                if not chunk:
+                    continue
+                f = os.path.join(src, f"slice-{i:03d}.parquet")
+                pq.write_table(
+                    pa.table(
+                        {
+                            "doc_id": pa.array([r[0] for r in chunk], pa.int64()),
+                            "text": [r[1] for r in chunk],
+                            "event_ts_us": pa.array([r[2] for r in chunk], pa.int64()),
+                        }
+                    ),
+                    f,
+                )
+                os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+            stream = spark.readStream.schema(
+                "doc_id long, text string, event_ts_us long"
+            ).option("maxFilesPerTrigger", 1).parquet(src)
+            q = (
+                stream_exact_dedup_event_ttl(stream, ttl_us=ttl_us)
+                .writeStream.format("parquet")
+                .option("path", os.path.join(base, "out"))
+                .option("checkpointLocation", os.path.join(base, "ckpt"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            got = spark.read.parquet(os.path.join(base, "out")).collect()
+            # map fp back to text via keep_id for readable asserts
+            by_id = {r[0]: r[1] for r in rows}
+            return {(by_id[r["keep_id"]], r["keep_id"]) for r in got}, {
+                r["keep_id"]: r["emit_ts_us"] for r in got
+            }
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    got_one, ts_one = drain(1)
+    got_four, ts_four = drain(4)
+    assert got_one == want, got_one
+    assert got_four == want, got_four
+    assert ts_one == ts_four
+    # emit_ts is the emitting event's own timestamp
+    assert ts_one[6] == base_us + 160_000
+
+
 def test_stream_minhash_normalization_parity(spark):
     """The streaming kernel's Python normalization must equal Spark's
     normalize_text byte-for-byte — including the Unicode traps (tab /
