@@ -159,3 +159,41 @@ def text_stats(documents: DataFrame) -> DataFrame:
         lang_id(t).alias("lang_guess"),
         fingerprint(t).alias("fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction — the compliance pass a training-data
+# pipeline runs before a corpus ships. Patterns are deliberately
+# RE2-compatible (no lookarounds) and ASCII-class-only so Spark's Java
+# regex and DuckDB's RE2 agree byte-for-byte; all three run as JVM-side
+# regexp_* expressions (whole-stage codegen, no Python).
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+LONGNUM_RE = r"\b[0-9]{9,}\b"  # account/phone-like long digit runs
+
+
+def pii_scrub(col: Column) -> Column:
+    """Redact emails → <EMAIL>, IPv4s → <IP>, 9+-digit runs → <NUM>, in
+    that fixed order (emails first: their local parts may contain digit
+    runs the later passes would otherwise split). Idempotent — the
+    replacement tokens contain nothing the patterns match."""
+    out = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, IPV4_RE, "<IP>")
+    return F.regexp_replace(out, LONGNUM_RE, "<NUM>")
+
+
+def pii_report(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII census + redacted-text fingerprint: counts are
+    over the ORIGINAL text (audit numbers), scrub_md5 fingerprints the
+    redacted text so two engines can verify the exact replacement
+    semantics without shipping the scrubbed corpus around."""
+    t = F.col(text_col)
+    return documents.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(t, F.lit(LONGNUM_RE)).cast("long").alias("n_idnums"),
+        F.md5(pii_scrub(t)).alias("scrub_md5"),
+    )

@@ -44,7 +44,10 @@ EDGE_KEY = ["subj", "pred", "obj", "doc_sha"]
 
 
 def canonical_edges(
-    clauses: DataFrame, strategy: str = "shuffle_hash", persisted_out: list | None = None
+    clauses: DataFrame,
+    strategy: str = "shuffle_hash",
+    persisted_out: list | None = None,
+    _spine_key: str | None = None,
 ) -> DataFrame:
     """Clause rows → canonicalized, per-doc-deduped edge table.
 
@@ -84,8 +87,11 @@ def canonical_edges(
     from fastobo_py_spark.operators.surrogate import with_doc_key
 
     shj = strategy == "shuffle_hash"
-    key = "doc_key" if shj else "doc_sha"
-    if shj:
+    # _spine_key: measurement override (tools/surrogate_ab.py) pinning the
+    # shuffle_hash chain to the string spine ("doc_sha") so the surrogate's
+    # effect can be isolated in one session; production callers leave it None
+    key = _spine_key or ("doc_key" if shj else "doc_sha")
+    if shj and key == "doc_key":
         clauses = with_doc_key(clauses)
     # The dim builders (macro table, alias/replacement map, equivalence
     # pairs) each rescan their input; against the full clause cache that
@@ -122,7 +128,7 @@ def canonical_edges(
     # clause cache's doc-key partitioning survives to the final dedup
     e = extract_edges_with_macros(clauses, strategy=strategy, macro_source=dims, key_col=key)
     e = rewrite_edges(e, clauses, resolution=combined, strategy=strategy, key_col=key)
-    if not shj:
+    if not shj or key == "doc_sha":
         return _dedup_edges(e)
     # decode the surrogate back to doc_sha: the dictionary is one row per
     # document (exchange-free aggregate over the already-partitioned

@@ -138,10 +138,13 @@ def commit_snapshot(
     op: str = "append",
     batch_id: str | None = None,
     parent_id: str | None = None,
+    summary: dict | None = None,
 ) -> dict:
     """Commit one snapshot: write the JSON (atomic rename), then advance
     HEAD (second atomic rename). ``parent_id`` defaults to current HEAD —
-    passing an older id makes this a rollback-style divergent commit."""
+    passing an older id makes this a rollback-style divergent commit.
+    ``summary`` carries op-specific counters (Iceberg's snapshot summary
+    map, e.g. deleted-row counts for a delete)."""
     os.makedirs(_snap_root(out_dir), exist_ok=True)
     snaps = _load_by_id(out_dir)
     parent = parent_id if parent_id is not None else current_snapshot_id(out_dir)
@@ -158,6 +161,7 @@ def commit_snapshot(
         "created_at_ms": int(time.time() * 1000),
         "added": {t: sorted(fs) for t, fs in (added or {}).items() if fs},
         "removed": {t: sorted(fs) for t, fs in (removed or {}).items() if fs},
+        "summary": summary or {},
     }
     _atomic_write(
         os.path.join(_snap_root(out_dir), f"snap-{seq:08d}-{sid}.json"),
@@ -239,7 +243,8 @@ def read_table_at(
 
 # ops whose added files carry NEW rows (an incremental scan reads them) vs
 # ops that only re-arrange existing rows (compaction/heal — skipped, exactly
-# like Iceberg's incremental append scan skips REPLACE snapshots)
+# like Iceberg's incremental append scan skips REPLACE snapshots). Anything
+# else (op="delete" removes rows) makes the append scan undefined → raise.
 _APPEND_OPS = frozenset({"append", "stream-append", "import"})
 _ROW_PRESERVING_OPS = frozenset({"replace", "heal"})
 
@@ -392,8 +397,16 @@ def expire_snapshots(out_dir: str, keep_last: int = 1, tables: tuple = TABLES) -
 
 def remove_orphan_files(out_dir: str, tables: tuple = TABLES) -> int:
     """Delete data files referenced by NO retained snapshot — the debris
-    of a crash between data write and snapshot commit. Run out-of-band
+    of a crash between data write and snapshot commit. Also reaps
+    ``_rewrite_tmp-*`` / ``_delete_tmp-*`` staging dirs a crashed
+    rewrite_data_files / delete_where left behind (they sit beside the
+    table roots, invisible to readers but holding disk). Run out-of-band
     (single-writer window), like Iceberg's ``removeOrphanFiles``."""
+    import shutil
+
+    for d in os.listdir(out_dir) if os.path.isdir(out_dir) else ():
+        if d.startswith(("_rewrite_tmp-", "_delete_tmp-")):
+            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
     snaps = list_snapshots(out_dir)
     if not snaps:
         return 0
@@ -540,6 +553,125 @@ def rewrite_data_files(
     return stats
 
 
+def _uri_to_rel(uri: str, out_dir: str) -> str:
+    """Map ``input_file_name()``'s URI back to an out_dir-relative path.
+    Spark percent-encodes the URI (a literal '%' in a partition dir —
+    e.g. its own ``idspace=a%2Fb`` escaping — comes back as ``%25``), so
+    parse + unquote exactly once."""
+    from urllib.parse import unquote, urlparse
+
+    p = uri
+    if p.startswith("file:"):
+        p = unquote(urlparse(p).path)
+    return os.path.relpath(p, out_dir)
+
+
+def delete_where(
+    spark: SparkSession, out_dir: str, predicate: str, tables: tuple = TABLES
+) -> dict:
+    """Copy-on-write row-level DELETE — Iceberg's ``DELETE FROM t WHERE
+    ...`` in CoW mode, the takedown / right-to-be-forgotten operation a
+    training-data pipeline needs ("purge these doc_shas from the KG").
+
+    Two-phase, and both phases touch only what they must at scale:
+
+      1. **Find affected files**: one scan of the HEAD file set counting
+         predicate matches per ``input_file_name()``. Parquet footer
+         stats + partition pruning serve the role of Iceberg's column
+         metrics here — a predicate on a partition column (``idspace``)
+         or a well-clustered one (``doc_sha`` after compaction) prunes
+         most row groups before they're read.
+      2. **Rewrite only affected files**: surviving rows (``NOT
+         predicate``, with SQL ternary semantics — a NULL predicate KEEPS
+         the row, matching ``DELETE WHERE``) are rewritten in ONE
+         partitionBy job per table alongside the originals, then a
+         single ``op="delete"`` snapshot atomically flips readers.
+         Unaffected files are never read twice, never rewritten.
+
+    Pre-delete snapshots still read the original files (time travel), so
+    a PHYSICAL purge = ``delete_where`` + :func:`expire_snapshots` — the
+    same two-step Iceberg requires, documented here because takedown
+    compliance needs the second step. ``incremental_files`` refuses to
+    scan across the delete snapshot (non-append row semantics), exactly
+    like Iceberg's incremental append scan.
+
+    The predicate must be resolvable against every table in ``tables``
+    (pass a subset for table-specific columns). run_pipeline's ingest
+    manifest intentionally keeps the deleted batch's entry: a rerun of
+    the same input SKIPS it, so deleted rows are not resurrected.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if current_snapshot_id(out_dir) is None:
+        raise ValueError("delete_where needs a snapshot log (run a pipeline batch first)")
+    cid = uuid.uuid4().hex[:8]
+    tmp_root = os.path.join(out_dir, f"_delete_tmp-{cid}")
+    added: dict[str, list[str]] = {t: [] for t in tables}
+    removed: dict[str, list[str]] = {t: [] for t in tables}
+    summary: dict[str, int] = {}
+    try:
+        for t in tables:
+            rels = resolve_files(out_dir, t)
+            if not rels:
+                continue
+            root = os.path.join(out_dir, t)
+            scan = (
+                spark.read.option("basePath", root)
+                .option("mergeSchema", "true")
+                .parquet(*[os.path.join(out_dir, r) for r in rels])
+            )
+            hit = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
+            per_file = scan.where(hit).groupBy(F.input_file_name().alias("uri")).count().collect()
+            if not per_file:
+                continue
+            affected = sorted(_uri_to_rel(r["uri"], out_dir) for r in per_file)
+            # partition columns from the leaf path (uniform per table —
+            # one writer produced the layout); values live in the dir
+            # names, so partitionBy on rewrite reproduces the same leaves
+            part_cols = [
+                seg.split("=", 1)[0]
+                for seg in os.path.dirname(affected[0]).split(os.sep)[1:]
+                if "=" in seg
+            ]
+            keep = (
+                spark.read.option("basePath", root)
+                .option("mergeSchema", "true")
+                .parquet(*[os.path.join(out_dir, r) for r in affected])
+                .where(~hit)
+            )
+            tmp_t = os.path.join(tmp_root, t)
+            writer = keep.write.mode("overwrite")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(tmp_t)
+            for dirpath, _dirnames, files in os.walk(tmp_t):
+                leaf_rel = os.path.relpath(dirpath, tmp_t)
+                dest_leaf = t if leaf_rel == "." else os.path.join(t, leaf_rel)
+                for f in sorted(files):
+                    if not f.endswith(".parquet"):
+                        continue
+                    os.makedirs(os.path.join(out_dir, dest_leaf), exist_ok=True)
+                    new_rel = os.path.join(dest_leaf, f"del{cid}-{f}")
+                    os.rename(os.path.join(dirpath, f), os.path.join(out_dir, new_rel))
+                    added[t].append(new_rel)
+            removed[t] = affected
+            summary[f"{t}_deleted_rows"] = int(sum(r["count"] for r in per_file))
+            summary[f"{t}_files_rewritten"] = len(affected)
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+    if not any(removed.values()):
+        return {"deleted_rows": 0, "files_rewritten": 0, "snapshot_id": None}
+    snap = commit_snapshot(out_dir, added=added, removed=removed, op="delete", summary=summary)
+    return {
+        "deleted_rows": sum(v for k, v in summary.items() if k.endswith("_deleted_rows")),
+        "files_rewritten": sum(v for k, v in summary.items() if k.endswith("_files_rewritten")),
+        "snapshot_id": snap["snapshot_id"],
+        "summary": summary,
+    }
+
+
 def snapshots_table(spark: SparkSession, out_dir: str) -> DataFrame:
     """Iceberg's ``table$snapshots`` metadata table: one row per retained
     snapshot (id, sequence, parent, op, batch, commit time, per-table
@@ -554,6 +686,7 @@ def snapshots_table(spark: SparkSession, out_dir: str) -> DataFrame:
             int(s["created_at_ms"]),
             {t: len(fs) for t, fs in s["added"].items()},
             {t: len(fs) for t, fs in s["removed"].items()},
+            {k: int(v) for k, v in s.get("summary", {}).items()},
             s["snapshot_id"] == current_snapshot_id(out_dir),
         )
         for s in list_snapshots(out_dir)
@@ -563,7 +696,7 @@ def snapshots_table(spark: SparkSession, out_dir: str) -> DataFrame:
     schema = (
         "snapshot_id string, sequence int, parent_id string, op string, "
         "batch_id string, created_at_ms long, added_files map<string,int>, "
-        "removed_files map<string,int>, is_current boolean"
+        "removed_files map<string,int>, summary map<string,long>, is_current boolean"
     )
     return spark.createDataFrame(rows, schema).orderBy(F.col("sequence").desc())
 

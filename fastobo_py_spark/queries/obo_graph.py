@@ -287,6 +287,75 @@ def sql_obo_snapshot_incremental() -> str:
     return _values_sql(sorted(out), ["metric", "value"])
 
 
+def q_obo_snapshot_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """Copy-on-write DELETE on the snapshotted KG (takedown /
+    right-to-be-forgotten): ingest the corpus, ``delete_where`` every row
+    of docs whose doc_sha starts below '8' (a deterministic ~half of the
+    corpus, expressible identically in the oracle as sha256(content)),
+    then check three states — HEAD after the delete (kept docs only),
+    time travel to the pre-delete snapshot (everything still readable),
+    and after ``expire_snapshots`` (physical purge; HEAD counts
+    unchanged, which also proves the expire rebase handles a delete
+    snapshot's removed-file sets)."""
+    import shutil
+    import tempfile
+
+    from fastobo_py_spark.plans import snapshots as S
+    from fastobo_py_spark.plans.pipeline import run_pipeline
+
+    corpus = _corpus_df(spark)
+    out = tempfile.mkdtemp(prefix="kg_del_q_")
+    try:
+        m1 = run_pipeline(spark, corpus, out, canonicalize=False)
+        S.delete_where(spark, out, "substring(doc_sha, 1, 1) < '8'")
+
+        def counts(tag, sid=None):
+            e = S.read_table_at(spark, out, "edges", snapshot_id=sid)
+            n = S.read_table_at(spark, out, "nodes", snapshot_id=sid)
+            return [
+                (f"docs{tag}", e.select("doc_sha").distinct().count()),
+                (f"edges{tag}", e.select("subj", "pred", "obj", "doc_sha").distinct().count()),
+                (f"nodes{tag}", n.count()),
+            ]
+
+        rows = counts("_head")
+        rows += counts("_tt", m1["snapshot_id"])
+        S.expire_snapshots(out, keep_last=1)
+        rows += counts("_purged")
+        return spark.createDataFrame(sorted(rows), "metric string, value bigint").orderBy("metric")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def sql_obo_snapshot_delete() -> str:
+    import hashlib as _hl
+
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    rows = generate_corpus(**_CORPUS_KW)
+    kept = [r for r in rows if _hl.sha256(r["content"].encode()).hexdigest()[0] >= "8"]
+    ix = oracle._IX
+
+    def stats(rs):
+        clauses, _ = oracle.parse_rows(rs)
+        n_nodes = len(
+            {(c[0], c[3 + ix["frame_id"]]) for c in clauses if c[3] != "Header" and c[3 + ix["frame_id"]]}
+        )
+        edges = oracle.build_edges(rs, canonicalize=False, apply_macros=True)
+        dist = {(s, p, o, sha) for s, p, o, _, sha in edges}
+        return len({e[3] for e in dist}), len(dist), n_nodes
+
+    fd, fe, fn = stats(rows)
+    kd, ke, kn = stats(kept)
+    out = [
+        ("docs_head", kd), ("edges_head", ke), ("nodes_head", kn),
+        ("docs_tt", fd), ("edges_tt", fe), ("nodes_tt", fn),
+        ("docs_purged", kd), ("edges_purged", ke), ("nodes_purged", kn),
+    ]
+    return _values_sql(sorted(out), ["metric", "value"])
+
+
 def q_obo_ancestors(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive is_a ancestor closure over the canonical KG — the
     classic downstream ontology query (reference users walk the AST in
@@ -419,6 +488,7 @@ QUERIES.update(
         "obo_pipeline_resume": q_obo_pipeline_resume,
         "obo_time_travel": q_obo_time_travel,
         "obo_snapshot_incremental": q_obo_snapshot_incremental,
+        "obo_snapshot_delete": q_obo_snapshot_delete,
     }
 )
 _GENERATED_ORACLES.update(
@@ -427,6 +497,7 @@ _GENERATED_ORACLES.update(
         "obo_pipeline_resume": sql_obo_pipeline_resume,
         "obo_time_travel": sql_obo_time_travel,
         "obo_snapshot_incremental": sql_obo_snapshot_incremental,
+        "obo_snapshot_delete": sql_obo_snapshot_delete,
     }
 )
 

@@ -150,11 +150,60 @@ ORDER BY source
 # ---------------------------------------------------------------------------
 
 
+def q_text_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII census + redaction (operators/text.py::pii_scrub/pii_report).
+    The synthetic documents table contains no PII (verified corpus-wide),
+    so the query deterministically plants it first: 2/3 of docs get an
+    email + IPv4 + long account number derived from doc_id (both engines
+    synthesize the identical string), 1/3 stay clean as negative cases.
+    The oracle then checks per-doc counts AND the md5 of the scrubbed
+    text — the replacement semantics, not just the match counts."""
+    from fastobo_py_spark.operators.text import pii_report
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    planted = F.when(F.col("doc_id") % 3 == 0, F.col("text")).otherwise(
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 acct 4111111111"),
+        )
+    )
+    return pii_report(docs.select("doc_id", planted.alias("text"))).orderBy("doc_id")
+
+
+from fastobo_py_spark.operators.text import EMAIL_RE as _EMAIL, IPV4_RE as _IPV4, LONGNUM_RE as _LONGNUM
+
+SQL_TEXT_PII_SCRUB = f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text
+              ELSE text || ' contact u' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.7 acct 4111111111' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_IPV4}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '{_LONGNUM}')) AS BIGINT) AS n_idnums,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '{_EMAIL}', '<EMAIL>', 'g'),
+           '{_IPV4}', '<IP>', 'g'),
+           '{_LONGNUM}', '<NUM>', 'g')) AS scrub_md5
+FROM s
+ORDER BY doc_id
+"""
+
+
 QUERIES.update(
     {
         "text_stats": q_text_stats,
         "text_tokens": q_text_tokens,
         "quality_by_source": q_quality_by_lang,
+        "text_pii_scrub": q_text_pii_scrub,
     }
 )
 STATIC_SQLS.update(
@@ -162,5 +211,6 @@ STATIC_SQLS.update(
         "text_stats": SQL_TEXT_STATS,
         "text_tokens": SQL_TEXT_TOKENS,
         "quality_by_source": SQL_QUALITY_BY_LANG,
+        "text_pii_scrub": SQL_TEXT_PII_SCRUB,
     }
 )

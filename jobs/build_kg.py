@@ -55,6 +55,14 @@ def main(argv: list[str] | None = None) -> int:
         "behind one replace snapshot (time travel preserved until "
         "--expire-snapshots); mutually exclusive with --compact-outputs",
     )
+    ap.add_argument(
+        "--delete-where",
+        default=None,
+        metavar="PREDICATE",
+        help="after the batch, copy-on-write DELETE rows matching this SQL "
+        "predicate from nodes+edges (takedown; commits an op=delete "
+        "snapshot — combine with --expire-snapshots for a physical purge)",
+    )
     ap.add_argument("--expire-snapshots", type=int, default=None, metavar="KEEP",
                     help="after the batch, keep only the newest KEEP snapshots and "
                     "delete data files no retained snapshot references")
@@ -98,6 +106,10 @@ def main(argv: list[str] | None = None) -> int:
             metrics["rewrite_data_files"] = snap.rewrite_data_files(
                 spark, args.out, max_parts=args.compact_max_parts
             )
+        if args.delete_where:
+            from fastobo_py_spark.plans import snapshots as snap
+
+            metrics["delete_where"] = snap.delete_where(spark, args.out, args.delete_where)
         if args.expire_snapshots is not None:
             from fastobo_py_spark.plans import snapshots as snap
 

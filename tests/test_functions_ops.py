@@ -631,3 +631,35 @@ def test_kmeans_ivf_training():
     # guard rails
     with pytest.raises(ValueError):
         kmeans_centroids(mat[:8], 16)  # fewer vectors than cells
+
+
+def test_pii_scrub_semantics(spark):
+    """pii_scrub: fixed-order redaction, idempotent (replacement tokens
+    match none of the patterns), clean text untouched."""
+    from pyspark.sql import functions as F
+
+    from fastobo_py_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            ("mail a.b+c@ex.org ip 10.1.2.3 acct 123456789 end",),
+            ("clean text, no pii at all",),
+            ("short digits 12345678 and 999.9.9.9999 odd",),
+        ],
+        "t string",
+    )
+    once = [r["s"] for r in df.select(pii_scrub(F.col("t")).alias("s")).collect()]
+    assert once[0] == "mail <EMAIL> ip <IP> acct <NUM> end"
+    assert once[1] == "clean text, no pii at all"
+    # 8 digits: below the long-run threshold; 999.9.9.9999 is not a
+    # \b-delimited IPv4 (last octet 4 digits) — 999.9.9.999 inside it IS
+    # matched by the 1-3-digit pattern? No: \b after '999' fails (next
+    # char is '9'), so the whole token survives.
+    assert once[2] == "short digits 12345678 and 999.9.9.9999 odd"
+    again = [
+        r["s"]
+        for r in spark.createDataFrame([(s,) for s in once], "t string")
+        .select(pii_scrub(F.col("t")).alias("s"))
+        .collect()
+    ]
+    assert again == once

@@ -55,8 +55,11 @@ def test_snapshot_isolation_and_time_travel(spark):
         with pytest.raises(ValueError):
             S.snapshot_as_of(out, s1["created_at_ms"] - 10)
 
-        # the uncommitted batch is an orphan; remove_orphan_files reaps it
+        # the uncommitted batch is an orphan; remove_orphan_files reaps it,
+        # along with crashed rewrite/delete staging dirs
+        os.makedirs(os.path.join(out, "_delete_tmp-dead", "nodes"))
         assert S.remove_orphan_files(out) >= 1
+        assert not os.path.exists(os.path.join(out, "_delete_tmp-dead"))
         assert S.read_table_at(spark, out, "nodes").count() == 3
     finally:
         shutil.rmtree(out, ignore_errors=True)
@@ -366,6 +369,58 @@ def test_incremental_read_between_snapshots(spark):
         S.commit_snapshot(out, added={t: [] for t in S.TABLES})  # HEAD branches off s1
         with pytest.raises(ValueError, match="not an ancestor"):
             S.incremental_files(out, "nodes", s2["snapshot_id"])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_delete_where_copy_on_write(spark):
+    """delete_where = Iceberg CoW DELETE: matching rows vanish from HEAD,
+    UNAFFECTED files are not rewritten (same physical identity), NULL
+    predicates keep their rows (SQL DELETE ternary semantics), pre-delete
+    snapshots still see everything until expire physically purges, and
+    the incremental append scan refuses to cross the delete."""
+    out = tempfile.mkdtemp(prefix="snap_del_")
+    try:
+        pre = S.list_data_files(out)
+        _write_batch(spark, out, [("A", 1), ("A", 10)])
+        s1, post1 = _commit_delta(out, pre)
+        _write_batch(spark, out, [("B", 2), ("B", None)])
+        s2, _ = _commit_delta(out, post1)
+        files_before = set(S.resolve_files(out, "nodes"))
+
+        st = S.delete_where(spark, out, "x >= 10", tables=("nodes",))
+        assert st["deleted_rows"] == 1 and st["files_rewritten"] == 1
+        head = S.read_table_at(spark, out, "nodes").collect()
+        assert sorted([(r["idspace"], r["x"]) for r in head], key=str) == sorted(
+            [("A", 1), ("B", 2), ("B", None)], key=str
+        )
+        # files without matches keep their identity (B's leaf, and any A
+        # part not holding the deleted row, are never rewritten)
+        files_after = set(S.resolve_files(out, "nodes"))
+        b_files = {f for f in files_before if "idspace=B" in f}
+        assert b_files <= files_after
+
+        # time travel: pre-delete snapshot still sees the deleted row
+        tt = S.read_table_at(spark, out, "nodes", snapshot_id=s2["snapshot_id"])
+        assert sorted(r["x"] for r in tt.collect() if r["x"] is not None) == [1, 2, 10]
+        # incremental scan across the delete is undefined
+        with pytest.raises(ValueError, match="non-append"):
+            S.incremental_files(out, "nodes", s1["snapshot_id"])
+
+        # no-match delete commits nothing
+        st2 = S.delete_where(spark, out, "x >= 999", tables=("nodes",))
+        assert st2["snapshot_id"] is None
+        assert S.current_snapshot_id(out) == st["snapshot_id"]
+
+        # summary surfaces in the metadata table
+        meta = {r["snapshot_id"]: r for r in S.snapshots_table(spark, out).collect()}
+        assert meta[st["snapshot_id"]]["op"] == "delete"
+        assert meta[st["snapshot_id"]]["summary"]["nodes_deleted_rows"] == 1
+
+        # physical purge = delete + expire (takedown compliance)
+        st3 = S.expire_snapshots(out, keep_last=1)
+        assert st3["deleted_files"] >= 1
+        assert sorted(r["x"] for r in S.read_table_at(spark, out, "nodes").collect() if r["x"] is not None) == [1, 2]
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
