@@ -131,19 +131,35 @@ def test_stream_build_kg_matches_batch_and_oracle(spark):
     the batch pipeline's canonical edge set (and therefore the oracle's:
     per-document canonicalization is batch-boundary invariant)."""
     from fastobo_py_spark import oracle
-    from fastobo_py_spark.sources.corpus import corpus_to_parquet, generate_corpus
+    from fastobo_py_spark.sources.corpus import generate_corpus
     from fastobo_py_spark.streaming.kg import stream_build_kg
 
     base = tempfile.mkdtemp(prefix="stream_kg_")
     try:
         corpus_dir = f"{base}/corpus"
-        corpus_to_parquet(corpus_dir, n_obo=12, n_noise=8, n_broken=1, n_files=4)
+        # Write the backlog ROUND-ROBIN across 4 files with pinned,
+        # strictly increasing mtimes. corpus_to_parquet writes generation
+        # order (all 12 edge-bearing OBO docs in the first 2 of 4 files)
+        # and identical mtimes — FileStreamSource's tie order then decides
+        # whether micro-batch 0 gets EVERY edge (making the strict-prefix
+        # snapshot assertion below flaky). Interleaving guarantees each
+        # 2-file micro-batch carries edge-bearing docs, deterministically.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = generate_corpus(n_obo=12, n_noise=8, n_broken=1)
+        cols = ("repo", "path", "commit", "lang", "content")
+        os.makedirs(corpus_dir)
+        for i in range(4):
+            chunk = rows[i::4]
+            f = f"{corpus_dir}/part-{i:05d}.parquet"
+            pq.write_table(pa.table({c: [r[c] for r in chunk] for c in cols}), f)
+            os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
         stream_build_kg(spark, corpus_dir, f"{base}/out", f"{base}/ckpt", max_files_per_trigger=2)
         got = {
             (r["subj"], r["pred"], r["obj"], r["doc_sha"])
             for r in spark.read.parquet(f"{base}/out/edges").select("subj", "pred", "obj", "doc_sha").collect()
         }
-        rows = generate_corpus(n_obo=12, n_noise=8, n_broken=1)
         want = oracle.edge_key_set(oracle.build_edges(rows, canonicalize=True))
         p, r = oracle.precision_recall(got, want)
         assert (p, r) == (1.0, 1.0), f"precision={p} recall={r}"
