@@ -339,7 +339,13 @@ def cells_udf(n_cells: int, nprobe: int, seed: int = 11, anchors: "np.ndarray | 
             order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
             return pd.Series([[int(c) for c in row] for row in order])
         out = []
-        dim = _ragged_ref_dim(len(x) for x in v if x is not None)
+        # with an explicit quantizer the reference dim is known a priori —
+        # anchors.shape[1] — so malformed rows can never outvote valid
+        # ones via the modal heuristic (code-review r5: a batch where
+        # wrong-dim rows dominate would NULL the valid vectors too)
+        dim = anchors.shape[1] if anchors is not None else _ragged_ref_dim(
+            len(x) for x in v if x is not None
+        )
         a = _anchors_for(dim)
         for x in v:
             if x is None or len(x) != dim or a is None:

@@ -400,12 +400,7 @@ def run_pipeline(
     # the heal's listing doubles as this batch's pre-write baseline
     from fastobo_py_spark.plans import snapshots as _snap
 
-    _heal, pre_files = _snap.heal_snapshot(out_dir)
-    if _snap.current_snapshot_id(out_dir) is None and any(pre_files.values()):
-        # legacy dir predating the snapshot log: baseline-import the
-        # existing files so the first snapshot chain covers them
-        # (Iceberg's migrate-table analogue)
-        _snap.commit_snapshot(out_dir, added={t: sorted(f) for t, f in pre_files.items()}, op="import")
+    pre_files = _snap.ensure_baseline(out_dir)
 
     src = pending_corpus(spark, corpus, out_dir) if resume else _with_doc_sha(corpus)
     keep = ["repo", "path", "commit", "lang", "content", "doc_sha", "payload_sha"] + (
@@ -552,7 +547,11 @@ def recover_output_compactions(out_dir: str) -> int:
         return 0
     restored = 0
     for name in sorted(os.listdir(tmp_root)):
-        if name.endswith(_OLD_SUFFIX):
+        # skip displaced-original markers: current '%old' AND the pre-r5
+        # '.old' encoding — after an upgrade, a leftover 'nodes%2F...old'
+        # entry would otherwise decode to a bogus 'idspace=....old'
+        # partition dir and be adopted into the table with duplicate rows
+        if name.endswith(_OLD_SUFFIX) or name.endswith(".old"):
             continue
         tmp = os.path.join(tmp_root, name)
         leaf = os.path.join(out_dir, _dec_leaf(name))
@@ -618,7 +617,11 @@ def compact_outputs(
             enc = _enc_leaf(rel)
             tmp = os.path.join(tmp_root, enc)
             shutil.rmtree(tmp, ignore_errors=True)
-            spark.read.parquet(leaf).repartition(n_out).write.mode("overwrite").parquet(tmp)
+            # mergeSchema: a leaf mixing pre-/post-evolution files must not
+            # be compacted down to one file's schema (columns silently lost)
+            spark.read.option("mergeSchema", "true").parquet(leaf).repartition(n_out).write.mode(
+                "overwrite"
+            ).parquet(tmp)
             old = tmp + _OLD_SUFFIX
             shutil.rmtree(old, ignore_errors=True)
             os.rename(leaf, old)

@@ -24,14 +24,17 @@ multi-writer): one pipeline commits at a time per output dir. Crash
 windows are all safe-by-construction:
 
   * data files written, snapshot not committed → orphan files, invisible
-    to snapshot readers until either :func:`remove_orphan_files` reaps
-    them out-of-band or the next ``run_pipeline`` entry heal adopts them
-    — adoption plus the batch's idempotent rerun (its manifest append
-    happens AFTER the snapshot commit) reproduces the table's documented
-    plain-path semantics: duplicate rows keyed by doc_sha, deduplicated
-    by readers. The heal must adopt rather than ignore, because the same
-    physical state is indistinguishable from a crash mid-destructive-
-    compaction, where the on-disk files are the ONLY copy of the data.
+    to snapshot readers. The entry heal does NOT adopt them (that would
+    resurrect rolled-back batches — :func:`heal_snapshot` and
+    ``test_heal_does_not_resurrect_rolled_back_data`` pin this); the
+    batch's idempotent rerun re-ingests the same docs (its manifest
+    append happens AFTER the snapshot commit, so the crashed batch was
+    never recorded) and :func:`remove_orphan_files` reaps the debris
+    out-of-band. A crash mid-DESTRUCTIVE-compaction is the one state the
+    heal must repair, and it is distinguishable PER LEAF: there — and
+    only there — HEAD references files that no longer exist, so
+    :func:`heal_snapshot` re-points exactly those broken leaves at the
+    leaf's on-disk files (the only surviving copy of that data).
   * snapshot committed, HEAD not advanced → an unreferenced snapshot;
     the next commit parents from HEAD so the orphan snapshot is simply
     unreachable, and :func:`expire_snapshots` removes it.
@@ -214,6 +217,22 @@ def snapshot_as_of(out_dir: str, ts_ms: int) -> str:
     return best["snapshot_id"]
 
 
+def _scan_files(spark: SparkSession, out_dir: str, table: str, rels: list[str]) -> DataFrame:
+    """The one snapshot scan shape: explicit file list (never a dir
+    listing — orphans must stay invisible), ``basePath`` so partition
+    columns (idspace, salt) are inferred from the directory layout, and
+    ``mergeSchema`` so cross-batch schema evolution unions correctly. An
+    empty list yields an empty DataFrame with no columns (nothing to
+    infer from)."""
+    if not rels:
+        return spark.createDataFrame([], "ignored string").limit(0).drop("ignored")
+    return (
+        spark.read.option("basePath", os.path.join(out_dir, table))
+        .option("mergeSchema", "true")
+        .parquet(*[os.path.join(out_dir, r) for r in rels])
+    )
+
+
 def read_table_at(
     spark: SparkSession,
     out_dir: str,
@@ -221,24 +240,13 @@ def read_table_at(
     snapshot_id: str | None = None,
     as_of_ms: int | None = None,
 ) -> DataFrame:
-    """Snapshot-consistent read: the resolved file list goes to the scan
-    explicitly, with ``basePath`` so partition columns (idspace, salt)
-    are still inferred from the directory layout, and ``mergeSchema`` so
-    cross-batch schema evolution unions correctly. An empty snapshot
-    yields an empty DataFrame with no columns (nothing to infer from)."""
+    """Snapshot-consistent read of ``table`` at a snapshot id / AS-OF
+    timestamp (default HEAD); scan shape per :func:`_scan_files`."""
     if as_of_ms is not None and snapshot_id is not None:
         raise ValueError("pass snapshot_id or as_of_ms, not both")
     if as_of_ms is not None:
         snapshot_id = snapshot_as_of(out_dir, as_of_ms)
-    rels = resolve_files(out_dir, table, snapshot_id)
-    if not rels:
-        return spark.createDataFrame([], "ignored string").limit(0).drop("ignored")
-    paths = [os.path.join(out_dir, r) for r in rels]
-    return (
-        spark.read.option("basePath", os.path.join(out_dir, table))
-        .option("mergeSchema", "true")
-        .parquet(*paths)
-    )
+    return _scan_files(spark, out_dir, table, resolve_files(out_dir, table, snapshot_id))
 
 
 # ops whose added files carry NEW rows (an incremental scan reads them) vs
@@ -313,14 +321,8 @@ def read_incremental(
     rescanning the table. Same scan shape as :func:`read_table_at`
     (explicit file list, basePath for partition columns, mergeSchema for
     evolution); cost scales with the DELTA, not the table."""
-    rels = incremental_files(out_dir, table, from_snapshot_id, to_snapshot_id)
-    if not rels:
-        return spark.createDataFrame([], "ignored string").limit(0).drop("ignored")
-    paths = [os.path.join(out_dir, r) for r in rels]
-    return (
-        spark.read.option("basePath", os.path.join(out_dir, table))
-        .option("mergeSchema", "true")
-        .parquet(*paths)
+    return _scan_files(
+        spark, out_dir, table, incremental_files(out_dir, table, from_snapshot_id, to_snapshot_id)
     )
 
 
@@ -484,6 +486,21 @@ def heal_snapshot(out_dir: str, tables: tuple = TABLES) -> tuple[dict | None, di
     return commit_snapshot(out_dir, added=added, removed=removed, op="heal"), on_disk
 
 
+def ensure_baseline(out_dir: str) -> dict[str, set]:
+    """Entry-time snapshot hygiene shared by every writer (batch
+    ``run_pipeline``, streaming ``stream_build_kg``): leaf-scoped heal of
+    a crashed destructive maintenance (:func:`heal_snapshot`), then — if
+    the directory predates the snapshot log — a baseline ``op='import'``
+    commit covering the existing files (Iceberg's migrate-table
+    analogue), so the first real snapshot's delta doesn't strand them
+    outside every chain. Returns the current physical listing (reusable
+    as the caller's pre-write baseline)."""
+    _heal, on_disk = heal_snapshot(out_dir)
+    if current_snapshot_id(out_dir) is None and any(on_disk.values()):
+        commit_snapshot(out_dir, added={t: sorted(f) for t, f in on_disk.items()}, op="import")
+    return on_disk
+
+
 def rewrite_data_files(
     spark: SparkSession,
     out_dir: str,
@@ -531,10 +548,14 @@ def rewrite_data_files(
                 tmp = os.path.join(tmp_root, f"{t}-{stats['leaves_rewritten']}")
                 # explicit file list, never the leaf dir: a dir listing
                 # could pick up orphan parts from a previously crashed
-                # rewrite and double the data
-                spark.read.parquet(*[os.path.join(out_dir, r) for r in sorted(rels)]).repartition(
-                    int(n_out)
-                ).write.mode("overwrite").parquet(tmp)
+                # rewrite and double the data. mergeSchema: a leaf can mix
+                # pre- and post-evolution files — without the merge, Spark
+                # picks ONE file's schema and the compacted replacement
+                # silently drops the other files' added columns (permanent
+                # loss once expire_snapshots reaps the originals)
+                spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(out_dir, r) for r in sorted(rels)]
+                ).repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
                 for f in sorted(os.listdir(tmp)):
                     if not f.endswith(".parquet"):
                         continue
@@ -616,12 +637,7 @@ def delete_where(
             rels = resolve_files(out_dir, t)
             if not rels:
                 continue
-            root = os.path.join(out_dir, t)
-            scan = (
-                spark.read.option("basePath", root)
-                .option("mergeSchema", "true")
-                .parquet(*[os.path.join(out_dir, r) for r in rels])
-            )
+            scan = _scan_files(spark, out_dir, t, rels)
             hit = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
             per_file = scan.where(hit).groupBy(F.input_file_name().alias("uri")).count().collect()
             if not per_file:
@@ -635,12 +651,7 @@ def delete_where(
                 for seg in os.path.dirname(affected[0]).split(os.sep)[1:]
                 if "=" in seg
             ]
-            keep = (
-                spark.read.option("basePath", root)
-                .option("mergeSchema", "true")
-                .parquet(*[os.path.join(out_dir, r) for r in affected])
-                .where(~hit)
-            )
+            keep = _scan_files(spark, out_dir, t, affected).where(~hit)
             tmp_t = os.path.join(tmp_root, t)
             writer = keep.write.mode("overwrite")
             if part_cols:

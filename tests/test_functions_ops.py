@@ -531,6 +531,37 @@ def test_ragged_batch_malformed_row_is_isolated(spark):
     assert all(got[i] == clean[i] for i in range(6))
 
 
+def test_trained_anchors_ragged_batch_uses_anchor_dim(spark):
+    """With an EXPLICIT quantizer the reference dim is anchors.shape[1],
+    not the batch's modal length (code-review r5): a batch where
+    malformed wrong-dim rows OUTNUMBER the valid ones must still bucket
+    every valid vector; only the malformed rows get NULL cells."""
+    import numpy as np
+
+    from fastobo_py_spark.operators.similarity import cells_udf, ivf_anchors
+
+    anchors = ivf_anchors(8, 4, seed=11)
+    rows = [(i, [1.0] * 4) for i in range(4)]  # malformed dim-4 majority
+    rows += [(10, [float(j) for j in range(8)]), (11, [float(8 - j) for j in range(8)])]
+    df = spark.createDataFrame(rows, "vec_id int, v array<double>").coalesce(1)
+    got = {
+        r["vec_id"]: r["c"]
+        for r in df.select("vec_id", cells_udf(4, 2, anchors=anchors)(F.col("v")).alias("c")).collect()
+    }
+    assert got[10] is not None and got[11] is not None
+    for i in range(4):
+        assert got[i] is None
+    # cells equal the clean-batch assignment (batch-composition invariant)
+    clean = {
+        r["vec_id"]: r["c"]
+        for r in spark.createDataFrame(rows[4:], "vec_id int, v array<double>")
+        .coalesce(1)
+        .select("vec_id", cells_udf(4, 2, anchors=anchors)(F.col("v")).alias("c"))
+        .collect()
+    }
+    assert got[10] == clean[10] and got[11] == clean[11]
+
+
 def test_pillow_branch_with_stub_pil(monkeypatch):
     """Execute the Pillow codec branch (dead-until-deployment in this
     container, VERDICT r4) by injecting a stub PIL module: the branch's

@@ -731,6 +731,15 @@ def test_output_compaction_crash_recovery(spark, corpus):
         # a full compact_outputs pass runs recovery first and stays green
         compact_outputs(spark, out, max_parts=10_000)
         assert spark.read.parquet(f"{out}/nodes").count() == n0
+
+        # case 3 (code-review r5): a PRE-r5 '.old' displaced-original entry
+        # must be skipped, not decoded into a bogus '...old' partition dir
+        legacy = os.path.join(tmp_root, rel + ".old")
+        os.makedirs(tmp_root, exist_ok=True)
+        spark.read.parquet(leaf).limit(1).write.mode("overwrite").parquet(legacy)
+        assert recover_output_compactions(out) == 0
+        assert os.path.isdir(legacy)  # left for manual cleanup, not adopted
+        assert spark.read.parquet(f"{out}/nodes").count() == n0
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

@@ -169,6 +169,27 @@ def test_rewrite_data_files_preserves_time_travel(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_rewrite_preserves_evolved_schema(spark):
+    """Compaction must not lose schema-evolved columns (code-review r5):
+    a leaf mixing pre- and post-evolution files, rewritten, still serves
+    the added column at HEAD — even after the originals are expired."""
+    out = tempfile.mkdtemp(prefix="snap_rwev_")
+    try:
+        pre = S.list_data_files(out)
+        _write_batch(spark, out, [("A", 1)])
+        spark.createDataFrame(
+            [("A", 2, "kept")], "idspace string, x int, extra string"
+        ).write.mode("append").partitionBy("idspace").parquet(f"{out}/nodes")
+        _commit_delta(out, pre)
+
+        S.rewrite_data_files(spark, out, max_parts=1, target_bytes=1 << 30)
+        S.expire_snapshots(out, keep_last=1)
+        head = {r["x"]: r.asDict().get("extra") for r in S.read_table_at(spark, out, "nodes").collect()}
+        assert head == {1: None, 2: "kept"}
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_pipeline_commits_snapshots(spark, corpus):
     """run_pipeline: every batch commits a snapshot; resume batches with
     nothing pending still commit (empty delta); time travel between two

@@ -568,3 +568,39 @@ def test_stream_user_totals_ignores_null_values(spark):
         assert rows[0]["sum_value_e4"] == 37500  # 1.5 + 2.25, null ignored
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_kg_imports_legacy_dir(spark):
+    """stream_build_kg over an out_dir holding pre-snapshot-era files
+    must baseline-import them before the first micro-batch commit
+    (code-review r5: the stream path skipped run_pipeline's entry
+    hygiene, stranding legacy files outside every snapshot chain)."""
+    from fastobo_py_spark.plans import snapshots as S
+    from fastobo_py_spark.sources.corpus import corpus_to_parquet
+    from fastobo_py_spark.streaming.kg import stream_build_kg
+
+    base = tempfile.mkdtemp(prefix="stream_kg_legacy_")
+    try:
+        corpus_dir = f"{base}/corpus"
+        corpus_to_parquet(corpus_dir, n_obo=4, n_noise=2, n_broken=0, n_files=2)
+        out = f"{base}/out"
+        # legacy files written before any snapshot log existed
+        spark.createDataFrame(
+            [("LEGACY:1", "is_a", "LEGACY:2", "f" * 64, "LEGACY", 0)],
+            "subj string, pred string, obj string, doc_sha string, idspace string, salt int",
+        ).write.partitionBy("idspace", "salt").parquet(f"{out}/edges")
+        spark.createDataFrame(
+            [("LEGACY:1", "f" * 64, "LEGACY")], "id string, doc_sha string, idspace string"
+        ).write.partitionBy("idspace").parquet(f"{out}/nodes")
+
+        stream_build_kg(spark, corpus_dir, out, f"{base}/ckpt", max_files_per_trigger=1)
+        snaps = S.list_snapshots(out)
+        assert snaps[0]["op"] == "import"
+        for t in ("edges", "nodes"):
+            assert (
+                S.read_table_at(spark, out, t).count()
+                == spark.read.option("mergeSchema", "true").parquet(f"{out}/{t}").count()
+            )
+        assert S.read_table_at(spark, out, "edges").where("idspace = 'LEGACY'").count() == 1
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
