@@ -274,6 +274,46 @@ ORDER BY event_type
 """
 
 
+def q_events_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time join (operators/asof.py::asof_join): every purchase
+    event paired with the user's most recent STRICTLY-prior click — the
+    attribution / feature-as-of-sample-time shape of training-data
+    assembly. Spark side is the union+window composition (ONE shuffle,
+    |L|+|R| rows, no range-join explosion); the oracle is DuckDB's
+    native ASOF LEFT JOIN, so two independent as-of implementations must
+    agree row for row, including purchases with no prior click (NULLs)."""
+    from fastobo_py_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    j = asof_join(purchases, clicks, on=["user_id"], left_ts="ts", right_ts="click_ts")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "click_id",
+        F.unix_micros(F.col("click_ts").cast("timestamp")).alias("click_ts_us"),
+    ).orderBy("event_id")
+
+
+SQL_EVENTS_ASOF = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       r.click_id, epoch_us(r.click_ts) AS click_ts_us
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND r.click_ts < l.ts
+ORDER BY l.event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (documents table)
 # ---------------------------------------------------------------------------
@@ -290,6 +330,7 @@ QUERIES.update(
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_props_json": q_events_props_json,
+        "events_asof_join": q_events_asof_join,
     }
 )
 STATIC_SQLS.update(
@@ -303,5 +344,6 @@ STATIC_SQLS.update(
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_props_json": SQL_EVENTS_PROPS,
+        "events_asof_join": SQL_EVENTS_ASOF,
     }
 )

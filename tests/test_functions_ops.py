@@ -694,3 +694,35 @@ def test_pii_scrub_semantics(spark):
         .collect()
     ]
     assert again == once
+
+
+def test_asof_join_semantics(spark):
+    """asof_join: strictly-prior match, same-instant rows excluded when
+    strict (included when strict=False), no-match rows kept with NULL
+    payload, and every left row survives exactly once."""
+    from fastobo_py_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 200), (3, "u", 50), (4, "v", 500)],
+        "event_id long, user_id string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("u", 10, 60), ("u", 11, 100), ("u", 12, 150), ("w", 13, 1)],
+        "user_id string, click_id long, click_ts long",
+    )
+    strict = {
+        r["event_id"]: r["click_id"]
+        for r in asof_join(left, right, ["user_id"], "ts", "click_ts").collect()
+    }
+    # ts=100: the same-instant click 11 is EXCLUDED -> most recent is 10 (ts 60)
+    assert strict == {1: 10, 2: 12, 3: None, 4: None}
+    loose = {
+        r["event_id"]: r["click_id"]
+        for r in asof_join(left, right, ["user_id"], "ts", "click_ts", strict=False).collect()
+    }
+    assert loose == {1: 11, 2: 12, 3: None, 4: None}
+    # collision contract is explicit, not silent suffixing
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collision"):
+        asof_join(left, left.withColumnRenamed("event_id", "x"), ["user_id"], "ts", "ts")
