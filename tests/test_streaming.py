@@ -174,6 +174,10 @@ def test_stream_build_kg_matches_batch_and_oracle(spark):
             spark, f"{base}/out", "edges", snapshot_id=snaps[0]["snapshot_id"]
         ).count()
         assert 0 < first_n < len(got)
+        # CDC composes with streaming: the incremental scan from the first
+        # micro-batch's snapshot returns exactly the later batches' rows
+        inc = S.read_incremental(spark, f"{base}/out", "edges", snaps[0]["snapshot_id"])
+        assert inc.count() == len(got) - first_n
         # restart against the same checkpoint: no duplicate appends
         stream_build_kg(spark, corpus_dir, f"{base}/out", f"{base}/ckpt", max_files_per_trigger=2)
         n_after = spark.read.parquet(f"{base}/out/edges").count()
