@@ -57,6 +57,15 @@ def main() -> None:
         canonical_edges(cl2, strategy="shuffle_hash"),
     )
     show("TPC-H Q5 shape (dims broadcast, AQE shuffles)", q_region_revenue(spark, "/root/testdata/sf0.001"))
+
+    from fastobo_py_spark.queries.relational import q_events_asof_join
+
+    show(
+        "As-of join (union + ONE hash exchange + window, ZERO join nodes — "
+        "|L|+|R| rows through one shuffle, never the |L|×|R| range-join "
+        "explosion; pushed filters + pruned ReadSchema on both scans)",
+        q_events_asof_join(spark, "/root/testdata/sf0.001"),
+    )
     spark.stop()
     shutil.rmtree(d)
     with open("PLANS.md", "w") as fh:
