@@ -62,8 +62,25 @@ def asof_join(
     clash = set(lpay) & set(rpay)
     if clash:
         raise ValueError(f"column collision between sides: {sorted(clash)}; rename before joining")
+    reserved = {_SIDE, _TS} & set(left.columns) | {_SIDE, _TS} & set(right.columns)
+    if reserved:
+        raise ValueError(f"{sorted(reserved)} are reserved by asof_join; rename before joining")
     if left_ts not in lpay or right_ts not in rpay:
         raise ValueError("left_ts/right_ts must be non-key columns of their side")
+
+    # Equi-join NULL semantics (code-review r5, both reproduced live):
+    # a NULL key never matches (`l.k = r.k` is never true on NULLs), and
+    # a NULL right_ts is never "before" anything (`r.ts < l.ts` is never
+    # true) — but the window composition would happily partition NULL
+    # keys together and sort NULL timestamps FIRST, where the running
+    # last() absorbs them. Drop such right rows up front; left rows keep
+    # LEFT-join semantics (retained, NULL payload) in both cases because
+    # a NULL-key left row then shares its partition with no right row and
+    # a NULL-ts left row sorts before every surviving right row.
+    keep_right = F.col(right_ts).isNotNull()
+    for k in on:
+        keep_right = keep_right & F.col(k).isNotNull()
+    right = right.where(keep_right)
 
     rtypes = {f.name: f.dataType for f in right.schema.fields}
     ltypes = {f.name: f.dataType for f in left.schema.fields}

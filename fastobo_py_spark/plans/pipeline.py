@@ -546,18 +546,34 @@ def recover_output_compactions(out_dir: str) -> int:
     if not os.path.isdir(tmp_root):
         return 0
     restored = 0
-    for name in sorted(os.listdir(tmp_root)):
-        # skip displaced-original markers: current '%old' AND the pre-r5
-        # '.old' encoding — after an upgrade, a leftover 'nodes%2F...old'
-        # entry would otherwise decode to a bogus 'idspace=....old'
-        # partition dir and be adopted into the table with duplicate rows
-        if name.endswith(_OLD_SUFFIX) or name.endswith(".old"):
-            continue
+    entries = sorted(os.listdir(tmp_root))
+    entry_set = set(entries)
+    for name in entries:
+        if name.endswith(_OLD_SUFFIX):
+            continue  # displaced-original marker; consumed via its base entry
+        if name.endswith(".old"):
+            # pre-r5 releases suffixed displaced originals with '.old'
+            # (not the injective '%old'), so an entry ending '.old' is
+            # ambiguous with a real leaf whose partition VALUE ends in
+            # '.old'. Disambiguate precisely (code-review r5 ×2: blanket
+            # adoption created bogus '...old' partition dirs; blanket
+            # skipping made a crashed 'X.old'-valued leaf unrecoverable):
+            #   - sibling entry exists → this IS that sibling's legacy
+            #     displaced original (consumed as its fallback below)
+            #   - decoded path minus '.old' is a live leaf → legacy
+            #     completed-swap debris; the real leaf is intact
+            # anything else is a genuine '*.old' leaf entry — recover it.
+            if name[:-4] in entry_set or os.path.isdir(
+                os.path.join(out_dir, _dec_leaf(name)[:-4])
+            ):
+                continue
         tmp = os.path.join(tmp_root, name)
         leaf = os.path.join(out_dir, _dec_leaf(name))
         if os.path.isdir(leaf):
             continue  # swap completed; leftover tmp is cleaned below
         src = tmp if os.path.exists(os.path.join(tmp, "_SUCCESS")) else tmp + _OLD_SUFFIX
+        if not os.path.isdir(src):
+            src = tmp + ".old"  # pre-r5 displaced-original suffix
         if os.path.isdir(src):
             os.makedirs(os.path.dirname(leaf), exist_ok=True)
             os.rename(src, leaf)

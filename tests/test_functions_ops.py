@@ -726,3 +726,35 @@ def test_asof_join_semantics(spark):
 
     with _pytest.raises(ValueError, match="collision"):
         asof_join(left, left.withColumnRenamed("event_id", "x"), ["user_id"], "ts", "ts")
+    with _pytest.raises(ValueError, match="reserved"):
+        asof_join(
+            left.withColumn("_asof_ts", F.lit(1)),
+            right,
+            ["user_id"],
+            "ts",
+            "click_ts",
+        )
+
+
+def test_asof_join_null_semantics(spark):
+    """NULL join keys never match (equi-join semantics) and NULL right
+    timestamps are never 'most recent prior' (code-review r5, both
+    reproduced against DuckDB's ASOF): such right rows are dropped;
+    left rows keep LEFT-join semantics (retained, NULL payload)."""
+    from fastobo_py_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, None, 100), (2, "u", 100), (3, "u", None)],
+        "event_id long, user_id string, ts long",
+    )
+    right = spark.createDataFrame(
+        [(None, 9, 50), ("u", 7, None), ("u", 8, 60)],
+        "user_id string, click_id long, click_ts long",
+    )
+    got = {
+        r["event_id"]: r["click_id"]
+        for r in asof_join(left, right, ["user_id"], "ts", "click_ts").collect()
+    }
+    # NULL-key left row: no match (never click 9); NULL-ts click 7 never
+    # matches; NULL-ts left row: no match
+    assert got == {1: None, 2: 8, 3: None}

@@ -732,13 +732,23 @@ def test_output_compaction_crash_recovery(spark, corpus):
         compact_outputs(spark, out, max_parts=10_000)
         assert spark.read.parquet(f"{out}/nodes").count() == n0
 
-        # case 3 (code-review r5): a PRE-r5 '.old' displaced-original entry
-        # must be skipped, not decoded into a bogus '...old' partition dir
+        # case 3 (code-review r5): legacy completed-swap debris — a PRE-r5
+        # '.old' displaced-original entry whose real leaf is alive must be
+        # skipped, not decoded into a bogus '...old' partition dir
         legacy = os.path.join(tmp_root, rel + ".old")
         os.makedirs(tmp_root, exist_ok=True)
         spark.read.parquet(leaf).limit(1).write.mode("overwrite").parquet(legacy)
         assert recover_output_compactions(out) == 0
         assert os.path.isdir(legacy)  # left for manual cleanup, not adopted
+        assert spark.read.parquet(f"{out}/nodes").count() == n0
+        _sh.rmtree(legacy)
+
+        # case 4 (code-review r5 second pass): legacy mid-swap crash AFTER
+        # an upgrade — leaf missing, uncommitted stub + '.old' displaced
+        # original → restore from the legacy '.old' copy, no data loss
+        os.rename(leaf, legacy)
+        os.makedirs(os.path.join(tmp_root, rel), exist_ok=True)  # no _SUCCESS
+        assert recover_output_compactions(out) == 1
         assert spark.read.parquet(f"{out}/nodes").count() == n0
     finally:
         shutil.rmtree(out, ignore_errors=True)
