@@ -239,13 +239,17 @@ def read_table_at(
     table: str,
     snapshot_id: str | None = None,
     as_of_ms: int | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Snapshot-consistent read of ``table`` at a snapshot id / AS-OF
-    timestamp (default HEAD); scan shape per :func:`_scan_files`."""
-    if as_of_ms is not None and snapshot_id is not None:
-        raise ValueError("pass snapshot_id or as_of_ms, not both")
+    timestamp / named tag (default HEAD); scan shape per
+    :func:`_scan_files`."""
+    if sum(x is not None for x in (snapshot_id, as_of_ms, tag)) > 1:
+        raise ValueError("pass at most one of snapshot_id, as_of_ms, tag")
     if as_of_ms is not None:
         snapshot_id = snapshot_as_of(out_dir, as_of_ms)
+    if tag is not None:
+        snapshot_id = resolve_tag(out_dir, tag)
     return _scan_files(spark, out_dir, table, resolve_files(out_dir, table, snapshot_id))
 
 
@@ -338,11 +342,13 @@ def rollback(out_dir: str, snapshot_id: str) -> None:
 
 def expire_snapshots(out_dir: str, keep_last: int = 1, tables: tuple = TABLES) -> dict:
     """Drop history: keep the newest ``keep_last`` snapshots of the HEAD
-    chain (their files stay), delete every other snapshot JSON, and
-    delete data files no retained snapshot references. The kept chain's
-    oldest snapshot is REBASED to a root (its delta rewritten to the full
-    resolved file set) so resolution never needs the expired parents —
-    Iceberg's ``expireSnapshots`` + ``removeOrphanFiles`` in one pass."""
+    chain plus every TAGGED snapshot (tags are retention pins, Iceberg
+    ref semantics), delete every other snapshot JSON, and delete data
+    files no retained snapshot references. The kept chain's oldest
+    snapshot — and each retained tagged snapshot — is REBASED to a root
+    (its delta rewritten to the full resolved file set) so resolution
+    never needs the expired parents — Iceberg's ``expireSnapshots`` +
+    ``removeOrphanFiles`` in one pass."""
     snaps = _load_by_id(out_dir)
     head = current_snapshot_id(out_dir)
     if head is None:
@@ -370,15 +376,37 @@ def expire_snapshots(out_dir: str, keep_last: int = 1, tables: tuple = TABLES) -
         for t in hist_tables:
             keep_files[t] |= set(s["added"].get(t, ()))
 
-    # rewrite the boundary snapshot as a root (full file set, no parent)
-    base = dict(base)
-    base["parent_id"] = None
-    base["added"] = {t: sorted(base_files[t]) for t in hist_tables if base_files[t]}
-    base["removed"] = {}
-    _atomic_write(
-        os.path.join(_snap_root(out_dir), f"snap-{base['sequence']:08d}-{base['snapshot_id']}.json"),
-        json.dumps(base, indent=1),
-    )
+    # tagged snapshots are retention pins (Iceberg ref semantics): each
+    # tag outside the kept chain survives expiration as a REBASED root —
+    # resolve all of them against the still-intact history first
+    tagged_extra = []
+    for sid in sorted(set(list_tags(out_dir).values()) - kept_ids):
+        if sid not in snaps:
+            continue  # dangling tag; nothing to retain
+        tfiles = {t: set(resolve_files(out_dir, t, sid)) for t in hist_tables}
+        tagged_extra.append((snaps[sid], tfiles))
+        kept_ids.add(sid)
+        for t in hist_tables:
+            keep_files[t] |= tfiles[t]
+
+    def _rebase_to_root(snap: dict, files: dict[str, set]) -> None:
+        snap = dict(snap)
+        snap["parent_id"] = None
+        snap["added"] = {t: sorted(files[t]) for t in hist_tables if files[t]}
+        snap["removed"] = {}
+        _atomic_write(
+            os.path.join(
+                _snap_root(out_dir), f"snap-{snap['sequence']:08d}-{snap['snapshot_id']}.json"
+            ),
+            json.dumps(snap, indent=1),
+        )
+
+    # rewrite the boundary snapshot (and every retained tagged snapshot)
+    # as a root: full file set, no parent — resolution never needs the
+    # expired ancestry
+    _rebase_to_root(base, base_files)
+    for snap, tfiles in tagged_extra:
+        _rebase_to_root(snap, tfiles)
 
     expired = 0
     for p in _snap_paths(out_dir):
@@ -484,6 +512,58 @@ def heal_snapshot(out_dir: str, tables: tuple = TABLES) -> tuple[dict | None, di
     if not any(added.values()) and not any(removed.values()):
         return None, on_disk
     return commit_snapshot(out_dir, added=added, removed=removed, op="heal"), on_disk
+
+
+# ---------------------------------------------------------------------------
+# Named refs (Iceberg tags) — durable names for snapshots
+# ---------------------------------------------------------------------------
+
+
+def _tags_path(out_dir: str) -> str:
+    return os.path.join(_snap_root(out_dir), "TAGS")
+
+
+def list_tags(out_dir: str) -> dict[str, str]:
+    """All tags as {name: snapshot_id}."""
+    try:
+        with open(_tags_path(out_dir)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {}
+
+
+def create_tag(out_dir: str, name: str, snapshot_id: str | None = None) -> str:
+    """Pin a durable name to a snapshot (default HEAD) — Iceberg's tag
+    refs. The promotion gesture of a validated pipeline run: a consumer
+    reads ``read_table_at(..., tag='prod')`` and is immune to later
+    ingests until someone re-tags; :func:`expire_snapshots` RETAINS
+    tagged snapshots (and their files) regardless of ``keep_last``, so a
+    tag is also a retention pin. Atomic tmp+rename update; re-tagging an
+    existing name moves it."""
+    sid = snapshot_id or current_snapshot_id(out_dir)
+    if sid is None:
+        raise ValueError(f"no snapshots committed under {out_dir}")
+    if sid not in _load_by_id(out_dir):
+        raise ValueError(f"snapshot {sid} not found (expired or never committed)")
+    tags = list_tags(out_dir)
+    tags[name] = sid
+    _atomic_write(_tags_path(out_dir), json.dumps(tags, indent=1, sort_keys=True))
+    return sid
+
+
+def delete_tag(out_dir: str, name: str) -> None:
+    tags = list_tags(out_dir)
+    if name not in tags:
+        raise ValueError(f"tag {name!r} not found")
+    del tags[name]
+    _atomic_write(_tags_path(out_dir), json.dumps(tags, indent=1, sort_keys=True))
+
+
+def resolve_tag(out_dir: str, name: str) -> str:
+    tags = list_tags(out_dir)
+    if name not in tags:
+        raise ValueError(f"tag {name!r} not found")
+    return tags[name]
 
 
 def ensure_baseline(out_dir: str) -> dict[str, set]:

@@ -66,6 +66,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--expire-snapshots", type=int, default=None, metavar="KEEP",
                     help="after the batch, keep only the newest KEEP snapshots and "
                     "delete data files no retained snapshot references")
+    ap.add_argument(
+        "--tag",
+        default=None,
+        metavar="NAME",
+        help="after the batch (and any maintenance), pin this name to the "
+        "current snapshot (Iceberg tag ref: a durable consumer-facing "
+        "name that also survives --expire-snapshots)",
+    )
     ap.add_argument("--remove-orphans", action="store_true",
                     help="after the batch, delete data files referenced by no snapshot")
     ap.add_argument("--master", default=None, help="override master (defaults to local[$SPARK_GRAFT_CPUS])")
@@ -120,6 +128,10 @@ def main(argv: list[str] | None = None) -> int:
             from fastobo_py_spark.plans import snapshots as snap
 
             metrics["removed_orphan_files"] = snap.remove_orphan_files(args.out)
+        if args.tag:
+            from fastobo_py_spark.plans import snapshots as snap
+
+            metrics["tagged_snapshot"] = snap.create_tag(args.out, args.tag)
         print(json.dumps(metrics))
         return 0
     finally:

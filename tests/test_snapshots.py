@@ -446,6 +446,51 @@ def test_delete_where_copy_on_write(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_tags_pin_snapshots_through_expiration(spark):
+    """Tags (Iceberg refs): read_table_at(tag=...) resolves the pinned
+    snapshot; expire_snapshots RETAINS tagged snapshots and their files
+    regardless of keep_last (rebased to roots); re-tagging moves the
+    name; deleting the tag releases the pin."""
+    out = tempfile.mkdtemp(prefix="snap_tag_")
+    try:
+        pre = S.list_data_files(out)
+        _write_batch(spark, out, [("A", 1)])
+        s1, post1 = _commit_delta(out, pre)
+        S.create_tag(out, "prod")  # defaults to HEAD == s1
+        _write_batch(spark, out, [("A", 2)])
+        s2, post2 = _commit_delta(out, post1)
+        _write_batch(spark, out, [("A", 3)])
+        s3, _ = _commit_delta(out, post2)
+
+        assert S.resolve_tag(out, "prod") == s1["snapshot_id"]
+        assert [r["x"] for r in S.read_table_at(spark, out, "nodes", tag="prod").collect()] == [1]
+
+        # expire to HEAD only: s2 dies, tagged s1 survives as a root
+        st = S.expire_snapshots(out, keep_last=1)
+        assert st["expired"] == 1
+        assert [r["x"] for r in S.read_table_at(spark, out, "nodes", tag="prod").collect()] == [1]
+        assert S.read_table_at(spark, out, "nodes").count() == 3
+        with pytest.raises(ValueError):
+            S.resolve_files(out, "nodes", s2["snapshot_id"])
+
+        # promotion: re-tag to HEAD, drop the pin, expire again → s1 goes
+        S.create_tag(out, "prod", s3["snapshot_id"])
+        st2 = S.expire_snapshots(out, keep_last=1)
+        assert st2["expired"] == 1  # s1 no longer pinned
+        with pytest.raises(ValueError):
+            S.read_table_at(spark, out, "nodes", tag="missing")
+        S.delete_tag(out, "prod")
+        with pytest.raises(ValueError):
+            S.resolve_tag(out, "prod")
+        # guard rails
+        with pytest.raises(ValueError):
+            S.create_tag(out, "x", "nonexistent000")
+        with pytest.raises(ValueError):
+            S.read_table_at(spark, out, "nodes", tag="t", snapshot_id=s3["snapshot_id"])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_metadata_tables(spark):
     """snapshots_table / files_table metadata views (Iceberg's
     table$snapshots / table$files): current flag, delta counts, per-file
