@@ -238,6 +238,43 @@ def test_compact_outputs_syncs_snapshot_log(spark, corpus):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_build_kg_cli_delete_and_tag(spark):
+    """CLI integration for the round-5 maintenance flags: --delete-where
+    commits an op=delete snapshot and --tag pins the result; the pinned
+    tag reads the post-delete state."""
+    import json as _json
+    import os as _os
+    import subprocess
+    import sys
+
+    out = tempfile.mkdtemp(prefix="kg_cli_dt_")
+    try:
+        # subprocess, not in-process main(): the CLI stops its session on
+        # exit, which would kill the shared pytest SparkContext
+        proc = subprocess.run(
+            [
+                sys.executable,
+                _os.path.join(_os.path.dirname(__file__), "..", "jobs", "build_kg.py"),
+                "--synthetic", "8", "--out", out, "--no-canonicalize",
+                "--delete-where", "substring(doc_sha, 1, 1) < '8'",
+                "--tag", "prod",
+                "--master", "local[4]",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        metrics = _json.loads(proc.stdout.strip().splitlines()[-1])
+        assert metrics["delete_where"]["deleted_rows"] > 0
+        assert metrics["tagged_snapshot"] == S.current_snapshot_id(out)
+        tagged = S.read_table_at(spark, out, "edges", tag="prod")
+        assert tagged.where("substring(doc_sha, 1, 1) < '8'").count() == 0
+        assert tagged.count() > 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_build_kg_cli_flag_validation():
     """CLI guard rails: --synthetic 0 and the destructive/non-destructive
     compaction pair are usage errors (exit 2), before any Spark startup."""
