@@ -62,7 +62,8 @@ def asof_join(
     clash = set(lpay) & set(rpay)
     if clash:
         raise ValueError(f"column collision between sides: {sorted(clash)}; rename before joining")
-    reserved = {_SIDE, _TS} & set(left.columns) | {_SIDE, _TS} & set(right.columns)
+    _internal = {_SIDE, _TS, "_asof_payload"}
+    reserved = _internal & set(left.columns) | _internal & set(right.columns)
     if reserved:
         raise ValueError(f"{sorted(reserved)} are reserved by asof_join; rename before joining")
     if left_ts not in lpay or right_ts not in rpay:
@@ -82,21 +83,29 @@ def asof_join(
         keep_right = keep_right & F.col(k).isNotNull()
     right = right.where(keep_right)
 
-    rtypes = {f.name: f.dataType for f in right.schema.fields}
+    from pyspark.sql import types as T
+
     ltypes = {f.name: f.dataType for f in left.schema.fields}
+    # The right payload travels as ONE struct, matched by ONE
+    # last(ignorenulls) — per-column last() would TEAR the matched row
+    # apart whenever one of its payload values is genuinely NULL,
+    # backfilling that column from an OLDER right row and emitting a
+    # combination that exists on neither side (code-review r5).
+    ptype = T.StructType([f for f in right.schema.fields if f.name in rpay])
+    payload = "_asof_payload"
     l2 = left.select(
         *on,
         F.col(left_ts).alias(_TS),
         F.lit(1).alias(_SIDE),
         *[F.col(c) for c in lpay],
-        *[F.lit(None).cast(rtypes[c]).alias(c) for c in rpay],
+        F.lit(None).cast(ptype).alias(payload),
     )
     r2 = right.select(
         *on,
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_SIDE),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in lpay],
-        *[F.col(c) for c in rpay],
+        F.struct(*[F.col(c) for c in rpay]).alias(payload),
     )
     # strict: left sorts BEFORE right at equal ts, so the running
     # last() cannot have absorbed a same-instant right row yet
@@ -107,10 +116,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = l2.unionByName(r2)
+    m = F.last(payload, ignorenulls=True).over(w)
     u = u.select(
         *on,
         _SIDE,
         *lpay,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rpay],
+        *[m[c].alias(c) for c in rpay],
     )
     return u.where(F.col(_SIDE) == 1).drop(_SIDE)

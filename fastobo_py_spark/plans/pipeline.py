@@ -555,16 +555,18 @@ def recover_output_compactions(out_dir: str) -> int:
             # pre-r5 releases suffixed displaced originals with '.old'
             # (not the injective '%old'), so an entry ending '.old' is
             # ambiguous with a real leaf whose partition VALUE ends in
-            # '.old'. Disambiguate precisely (code-review r5 ×2: blanket
-            # adoption created bogus '...old' partition dirs; blanket
-            # skipping made a crashed 'X.old'-valued leaf unrecoverable):
-            #   - sibling entry exists → this IS that sibling's legacy
-            #     displaced original (consumed as its fallback below)
-            #   - decoded path minus '.old' is a live leaf → legacy
-            #     completed-swap debris; the real leaf is intact
-            # anything else is a genuine '*.old' leaf entry — recover it.
-            if name[:-4] in entry_set or os.path.isdir(
-                os.path.join(out_dir, _dec_leaf(name)[:-4])
+            # '.old'. Precise discriminator (code-review r5 ×3): a
+            # CURRENT-format in-flight swap of a genuine '*.old' leaf
+            # always carries either a committed compacted copy
+            # (_SUCCESS inside the tmp entry — Spark writes it at the
+            # write root) or a '%old' displaced-original sibling; a
+            # legacy '.old' displaced-original dir is a partition leaf
+            # and has NEITHER (leaves hold only parquet parts). Skip
+            # exactly the latter — it is consumed as its base entry's
+            # restore fallback below, or is completed-swap debris.
+            if not (
+                os.path.exists(os.path.join(tmp_root, name, "_SUCCESS"))
+                or name + _OLD_SUFFIX in entry_set
             ):
                 continue
         tmp = os.path.join(tmp_root, name)
@@ -609,12 +611,24 @@ def compact_outputs(
     Snapshot interaction: this compactor is DESTRUCTIVE — it deletes the
     fragmented originals, so when a snapshot log exists it finishes by
     committing a replace snapshot from the physical state and EXPIRING
-    all history (older snapshots referenced the deleted files). Use
+    all history (older snapshots referenced the deleted files). It
+    REFUSES to run while tags exist: a tag is a retention pin, and the
+    destructive swap would strand it pointing at deleted files
+    (code-review r5). Use
     :func:`fastobo_py_spark.plans.snapshots.rewrite_data_files` to
-    compact while retaining time travel.
+    compact while retaining time travel and tags.
     """
     import shutil
 
+    from fastobo_py_spark.plans import snapshots as _snap
+
+    tags = _snap.list_tags(out_dir)
+    if tags:
+        raise ValueError(
+            f"compact_outputs is destructive and would strand tagged snapshots "
+            f"{sorted(tags)}; use snapshots.rewrite_data_files (non-destructive) "
+            f"or delete the tags first"
+        )
     recover_output_compactions(out_dir)
     tmp_root = _compact_tmp_root(out_dir)
     stats = {"leaves_seen": 0, "leaves_compacted": 0, "parts_before": 0, "parts_after": 0}

@@ -174,14 +174,10 @@ def commit_snapshot(
     return snap
 
 
-def resolve_files(out_dir: str, table: str, snapshot_id: str | None = None) -> list[str]:
-    """File set of ``table`` at a snapshot (default HEAD): walk the
-    parent chain root→snapshot applying added/removed deltas. Raises for
-    an unknown or expired snapshot (Iceberg: ``Cannot find snapshot``)."""
-    sid = snapshot_id or current_snapshot_id(out_dir)
-    if sid is None:
-        raise ValueError(f"no snapshots committed under {out_dir}")
-    snaps = _load_by_id(out_dir)
+def _resolve_from(snaps: dict[str, dict], sid: str, table: str) -> list[str]:
+    """Chain-walk resolution against an already-loaded snapshot map —
+    the shared core of :func:`resolve_files` and the expire rebase loops
+    (which would otherwise re-read the whole JSON log per (ref, table))."""
     chain = []
     cur: str | None = sid
     while cur is not None:
@@ -195,6 +191,16 @@ def resolve_files(out_dir: str, table: str, snapshot_id: str | None = None) -> l
         files |= set(s["added"].get(table, ()))
         files -= set(s["removed"].get(table, ()))
     return sorted(files)
+
+
+def resolve_files(out_dir: str, table: str, snapshot_id: str | None = None) -> list[str]:
+    """File set of ``table`` at a snapshot (default HEAD): walk the
+    parent chain root→snapshot applying added/removed deltas. Raises for
+    an unknown or expired snapshot (Iceberg: ``Cannot find snapshot``)."""
+    sid = snapshot_id or current_snapshot_id(out_dir)
+    if sid is None:
+        raise ValueError(f"no snapshots committed under {out_dir}")
+    return _resolve_from(_load_by_id(out_dir), sid, table)
 
 
 def snapshot_as_of(out_dir: str, ts_ms: int) -> str:
@@ -352,7 +358,7 @@ def expire_snapshots(out_dir: str, keep_last: int = 1, tables: tuple = TABLES) -
     snaps = _load_by_id(out_dir)
     head = current_snapshot_id(out_dir)
     if head is None:
-        return {"expired": 0, "deleted_files": 0}
+        return {"expired": 0, "deleted_files": 0, "pinned_tags": {}}
     chain = []
     cur: str | None = head
     while cur is not None and cur in snaps:
@@ -370,7 +376,7 @@ def expire_snapshots(out_dir: str, keep_last: int = 1, tables: tuple = TABLES) -
 
     # resolve the keep-boundary snapshot BEFORE deleting its ancestry
     base = kept[-1]
-    base_files = {t: set(resolve_files(out_dir, t, base["snapshot_id"])) for t in hist_tables}
+    base_files = {t: set(_resolve_from(snaps, base["snapshot_id"], t)) for t in hist_tables}
     keep_files: dict[str, set] = {t: set(base_files[t]) for t in hist_tables}
     for s in kept[:-1]:
         for t in hist_tables:
@@ -379,13 +385,16 @@ def expire_snapshots(out_dir: str, keep_last: int = 1, tables: tuple = TABLES) -
     # tagged snapshots are retention pins (Iceberg ref semantics): each
     # tag outside the kept chain survives expiration as a REBASED root —
     # resolve all of them against the still-intact history first
+    tags = list_tags(out_dir)
     tagged_extra = []
-    for sid in sorted(set(list_tags(out_dir).values()) - kept_ids):
+    pinned_tags: dict[str, str] = {}
+    for sid in sorted(set(tags.values()) - kept_ids):
         if sid not in snaps:
             continue  # dangling tag; nothing to retain
-        tfiles = {t: set(resolve_files(out_dir, t, sid)) for t in hist_tables}
+        tfiles = {t: set(_resolve_from(snaps, sid, t)) for t in hist_tables}
         tagged_extra.append((snaps[sid], tfiles))
         kept_ids.add(sid)
+        pinned_tags.update({n: s for n, s in tags.items() if s == sid})
         for t in hist_tables:
             keep_files[t] |= tfiles[t]
 
@@ -422,7 +431,11 @@ def expire_snapshots(out_dir: str, keep_last: int = 1, tables: tuple = TABLES) -
         for rel in sorted(on_disk[t] - keep_files[t]):
             os.remove(os.path.join(out_dir, rel))
             deleted += 1
-    return {"expired": expired, "deleted_files": deleted}
+    # pinned_tags is the compliance signal a physical purge must read:
+    # these tags kept their snapshots' files on disk and readable — an
+    # INCOMPLETE takedown until the tags are deleted/moved and expire
+    # reruns (code-review r5)
+    return {"expired": expired, "deleted_files": deleted, "pinned_tags": pinned_tags}
 
 
 def remove_orphan_files(out_dir: str, tables: tuple = TABLES) -> int:
@@ -540,9 +553,15 @@ def create_tag(out_dir: str, name: str, snapshot_id: str | None = None) -> str:
     tagged snapshots (and their files) regardless of ``keep_last``, so a
     tag is also a retention pin. Atomic tmp+rename update; re-tagging an
     existing name moves it."""
-    sid = snapshot_id or current_snapshot_id(out_dir)
-    if sid is None:
-        raise ValueError(f"no snapshots committed under {out_dir}")
+    if not name or not isinstance(name, str):
+        raise ValueError("tag name must be a non-empty string")
+    sid = snapshot_id if snapshot_id is not None else current_snapshot_id(out_dir)
+    if not sid:
+        raise ValueError(
+            f"no snapshots committed under {out_dir}"
+            if snapshot_id is None
+            else "snapshot_id must be a non-empty string"
+        )
     if sid not in _load_by_id(out_dir):
         raise ValueError(f"snapshot {sid} not found (expired or never committed)")
     tags = list_tags(out_dir)
@@ -692,7 +711,11 @@ def delete_where(
     Pre-delete snapshots still read the original files (time travel), so
     a PHYSICAL purge = ``delete_where`` + :func:`expire_snapshots` — the
     same two-step Iceberg requires, documented here because takedown
-    compliance needs the second step. ``incremental_files`` refuses to
+    compliance needs the second step. TAGS ARE RETENTION PINS: a tag on
+    a pre-delete snapshot keeps the condemned files on disk and readable
+    through ``read_table_at(tag=...)`` — check ``expire_snapshots``'s
+    ``pinned_tags`` return and delete/move those tags, then expire
+    again, before declaring the purge complete. ``incremental_files`` refuses to
     scan across the delete snapshot (non-append row semantics), exactly
     like Iceberg's incremental append scan.
 

@@ -128,9 +128,12 @@ def main(argv: list[str] | None = None) -> int:
             from fastobo_py_spark.plans import snapshots as snap
 
             metrics["removed_orphan_files"] = snap.remove_orphan_files(args.out)
-        if args.tag:
+        if args.tag is not None:
             from fastobo_py_spark.plans import snapshots as snap
 
+            # empty string reaches create_tag and raises (a wrapper that
+            # interpolated an unset $VAR must fail loudly, not silently
+            # skip the promotion)
             metrics["tagged_snapshot"] = snap.create_tag(args.out, args.tag)
         print(json.dumps(metrics))
         return 0

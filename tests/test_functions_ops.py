@@ -758,3 +758,21 @@ def test_asof_join_null_semantics(spark):
     # NULL-key left row: no match (never click 9); NULL-ts click 7 never
     # matches; NULL-ts left row: no match
     assert got == {1: None, 2: 8, 3: None}
+
+
+def test_asof_join_matched_row_stays_whole(spark):
+    """The matched right row's payload must come back AS A ROW, even when
+    one of its values is genuinely NULL — per-column last(ignorenulls)
+    would backfill the NULL from an OLDER right row, emitting a
+    combination that exists on neither side (code-review r5)."""
+    from fastobo_py_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "u", 100)], "event_id long, user_id string, ts long")
+    right = spark.createDataFrame(
+        [("u", 5, "rich", 50), ("u", 6, None, 60)],
+        "user_id string, click_id long, label string, click_ts long",
+    )
+    row = asof_join(left, right, ["user_id"], "ts", "click_ts").collect()[0]
+    # match is the ts=60 row: click_id=6 with its OWN NULL label — not
+    # label='rich' torn off the ts=50 row
+    assert (row["click_id"], row["label"], row["click_ts"]) == (6, None, 60)

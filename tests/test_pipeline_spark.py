@@ -738,6 +738,9 @@ def test_output_compaction_crash_recovery(spark, corpus):
         legacy = os.path.join(tmp_root, rel + ".old")
         os.makedirs(tmp_root, exist_ok=True)
         spark.read.parquet(leaf).limit(1).write.mode("overwrite").parquet(legacy)
+        # a real legacy displaced-original is a renamed partition LEAF:
+        # parquet parts only, never a _SUCCESS marker
+        os.remove(os.path.join(legacy, "_SUCCESS"))
         assert recover_output_compactions(out) == 0
         assert os.path.isdir(legacy)  # left for manual cleanup, not adopted
         assert spark.read.parquet(f"{out}/nodes").count() == n0
@@ -750,6 +753,18 @@ def test_output_compaction_crash_recovery(spark, corpus):
         os.makedirs(os.path.join(tmp_root, rel), exist_ok=True)  # no _SUCCESS
         assert recover_output_compactions(out) == 1
         assert spark.read.parquet(f"{out}/nodes").count() == n0
+
+        # case 5 (code-review r5 third pass): a GENUINE leaf whose
+        # partition VALUE ends in '.old', crashed mid-swap with a
+        # committed copy — must be restored, not misread as legacy debris
+        fake = os.path.join(out, "nodes", "idspace=FAKE.old")
+        enc2 = _enc_leaf(os.path.relpath(fake, out))
+        assert enc2.endswith(".old")
+        spark.read.parquet(leaf).limit(1).write.parquet(os.path.join(tmp_root, enc2))
+        # leaf itself was renamed away by the crash → missing on disk
+        assert recover_output_compactions(out) == 1
+        assert os.path.isdir(fake)
+        assert spark.read.parquet(fake).count() == 1
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

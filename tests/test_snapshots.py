@@ -502,9 +502,11 @@ def test_tags_pin_snapshots_through_expiration(spark):
         assert S.resolve_tag(out, "prod") == s1["snapshot_id"]
         assert [r["x"] for r in S.read_table_at(spark, out, "nodes", tag="prod").collect()] == [1]
 
-        # expire to HEAD only: s2 dies, tagged s1 survives as a root
+        # expire to HEAD only: s2 dies, tagged s1 survives as a root —
+        # and the return REPORTS the pin (the takedown-compliance signal)
         st = S.expire_snapshots(out, keep_last=1)
         assert st["expired"] == 1
+        assert st["pinned_tags"] == {"prod": s1["snapshot_id"]}
         assert [r["x"] for r in S.read_table_at(spark, out, "nodes", tag="prod").collect()] == [1]
         assert S.read_table_at(spark, out, "nodes").count() == 3
         with pytest.raises(ValueError):
@@ -523,7 +525,18 @@ def test_tags_pin_snapshots_through_expiration(spark):
         with pytest.raises(ValueError):
             S.create_tag(out, "x", "nonexistent000")
         with pytest.raises(ValueError):
+            S.create_tag(out, "")  # unset-$VAR wrapper bug → loud failure
+        with pytest.raises(ValueError):
             S.read_table_at(spark, out, "nodes", tag="t", snapshot_id=s3["snapshot_id"])
+
+        # the DESTRUCTIVE compactor refuses while tags exist — it would
+        # strand them pointing at deleted files (code-review r5)
+        from fastobo_py_spark.plans.pipeline import compact_outputs
+
+        S.create_tag(out, "pin")
+        with pytest.raises(ValueError, match="strand"):
+            compact_outputs(spark, out, max_parts=0)
+        S.delete_tag(out, "pin")
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
