@@ -197,3 +197,116 @@ def pii_report(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_count(t, F.lit(LONGNUM_RE)).cast("long").alias("n_idnums"),
         F.md5(pii_scrub(t)).alias("scrub_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus shaping — chunking, stratified sampling, sequence packing: the
+# three transforms between "curated documents" and "training batches".
+# All three are pure JVM column expressions (sequence/explode/substring,
+# md5-prefix thresholds, windowed running sums) — no Python in the row
+# path, so they pipeline with the scan at any scale.
+# ---------------------------------------------------------------------------
+
+
+def chunk(
+    documents: DataFrame,
+    size: int = 200,
+    stride: int = 160,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping fixed-window chunking (context-window prep): chunk
+    ``i`` covers characters ``[i*stride, i*stride + size)``;
+    ``n_chunks = 1 + ceil(max(len - size, 0) / stride)``, so every
+    character is covered, consecutive chunks overlap by ``size - stride``
+    and an empty/short document still yields exactly one chunk. Explode
+    of a ``sequence`` keeps this a narrow map over the scan — one output
+    row per chunk, no shuffle, no UDF."""
+    if stride <= 0 or size < stride:
+        raise ValueError(f"need size >= stride > 0, got size={size} stride={stride}")
+    t = F.col(text_col)
+    n = (
+        F.lit(1)
+        + F.ceil(F.greatest(F.length(t) - F.lit(size), F.lit(0)) / F.lit(float(stride)))
+    ).cast("long")
+    piece = F.expr(f"substring({text_col}, chunk_id * {stride} + 1, {size})")
+    return (
+        documents.select(
+            id_col, text_col, F.explode(F.sequence(F.lit(0).cast("long"), n - 1)).alias("chunk_id")
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.length(piece).cast("long").alias("chunk_len"),
+            F.md5(piece).alias("chunk_md5"),
+        )
+    )
+
+
+def sample_threshold(rate_per_256: Column) -> Column:
+    """Two-hex-char cutoff for a deterministic ``rate/256`` sample."""
+    return F.lpad(F.lower(F.conv(rate_per_256.cast("string"), 10, 16)), 2, "0")
+
+
+def stratified_sample(
+    documents: DataFrame,
+    rates: DataFrame,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Deterministic hash-based stratified sampling — the source-mixing
+    step that turns curated documents into a weighted training corpus
+    (e.g. books at 90%, raw web at 5%). ``rates`` is a tiny dim table
+    ``(stratum, rate_per_256)``; a document survives iff the first two
+    hex chars of ``md5(id)`` sort below the stratum's cutoff. Hash-based
+    (not ``rand()``): the same document always makes the same decision,
+    so reruns, resumes and two engines agree row-for-row. The rates dim
+    broadcasts; the probe is a scan-side filter — no shuffle of the
+    corpus."""
+    cut = rates.select(
+        F.col("stratum").alias(stratum_col),
+        sample_threshold(F.col("rate_per_256")).alias("_cut"),
+    )
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    return (
+        documents.join(F.broadcast(cut), stratum_col, "inner")
+        .where(bucket < F.col("_cut"))
+        .drop("_cut")
+    )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    window_tokens: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing (pretraining document packing): documents are
+    concatenated in ``id`` order within a shard and split into fixed
+    token windows; each document's row reports its shard, its running
+    start offset and the window it starts in. Packing is PER SHARD by
+    design — a global order would serialize the whole corpus through one
+    window partition, while ``pmod(id, n_shards)`` shards pack
+    independently (one shuffle by shard, each task streams its shard in
+    order), which is how packing actually runs at 100 TB."""
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("long")
+    base = documents.select(
+        id_col, shard.alias("shard"), token_count(t).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        off.alias("start_offset"),
+        F.floor(off / F.lit(window_tokens)).cast("long").alias("window_id"),
+    )

@@ -786,6 +786,128 @@ def delete_where(
     }
 
 
+def merge_into(
+    spark: SparkSession,
+    out_dir: str,
+    table: str,
+    source: DataFrame,
+    on: str | list[str],
+) -> dict:
+    """Copy-on-write MERGE (upsert by key) — Iceberg's ``MERGE INTO t
+    USING s ON t.k = s.k WHEN MATCHED THEN DELETE ... INSERT *`` in CoW
+    mode: every target row whose key appears in ``source`` is replaced by
+    the source's row-set for that key, and source keys absent from the
+    target are inserted. With many rows per key (a doc_sha owns a SET of
+    edges) this is the key-scoped dynamic overwrite an ontology-version
+    upsert or a curation-corrections feed needs: "replace these
+    documents' edges with the corrected set, add the new documents".
+
+    Same two-phase CoW shape as :func:`delete_where`, scaling by the
+    DELTA, not the table:
+
+      1. **Find affected files**: one semi-join of the HEAD file set
+         against the distinct source keys, counted per
+         ``input_file_name()`` — partition pruning and parquet footer
+         stats prune unaffected files before they're read (Iceberg's
+         column-metrics role).
+      2. **Rewrite + insert in ONE write job**: survivors (target
+         anti-join source keys — SQL join semantics, so a NULL key never
+         matches and its target rows always survive) are unioned with
+         the full source (``allowMissingColumns`` — a column the source
+         adds lands as Iceberg add-column evolution: old snapshots keep
+         the old schema, HEAD reads merge) and written partitionBy'd
+         once; a single ``op="overwrite"`` snapshot flips readers
+         atomically. Unaffected files are never read twice.
+
+    ``incremental_files`` refuses to scan across the merge snapshot
+    (non-append row semantics — matched rows were REPLACED), exactly like
+    Iceberg's incremental append scan over an overwrite. Time travel to
+    pre-merge snapshots still reads the original files until
+    :func:`expire_snapshots`.
+
+    ``source`` must carry the table's partition columns (``idspace``,
+    and ``salt`` for edges) — the same contract Iceberg's writer
+    distribution imposes on MERGE sources.
+
+    Reference: Iceberg spec copy-on-write row-level operations;
+    fastobo-py has no table format (north-rule scope, like the rest of
+    this module).
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if current_snapshot_id(out_dir) is None:
+        raise ValueError("merge_into needs a snapshot log (run a pipeline batch first)")
+    on = [on] if isinstance(on, str) else list(on)
+    cid = uuid.uuid4().hex[:8]
+    tmp_root = os.path.join(out_dir, f"_merge_tmp-{cid}")
+    rels = resolve_files(out_dir, table)
+    # distinct keys once; reused by the semi-join probe and the anti-join
+    # rewrite (Catalyst broadcasts when small, shuffles when not). NULL
+    # keys need no special casing: equality joins never match them, so a
+    # NULL-keyed target row always survives and a NULL-keyed source row
+    # is a pure insert — MERGE ON semantics
+    keys = source.select(*on).distinct()
+    affected: list[str] = []
+    matched_rows = 0
+    if rels:
+        scan = _scan_files(spark, out_dir, table, rels)
+        # project input_file_name over the single-source scan BEFORE the
+        # join: with the source being a scan itself (it usually is — a
+        # corrected slice of the same table), the expression would
+        # otherwise sit above two file sources and fail analysis
+        tagged = scan.select(F.input_file_name().alias("_uri"), *on)
+        per_file = tagged.join(keys, on, "left_semi").groupBy("_uri").count().collect()
+        affected = sorted(_uri_to_rel(r["_uri"], out_dir) for r in per_file)
+        matched_rows = int(sum(r["count"] for r in per_file))
+    # partition columns from any HEAD leaf path (uniform per table — one
+    # writer produced the layout); an empty/unpartitioned table inserts flat
+    layout_ref = affected[0] if affected else (rels[0] if rels else "")
+    part_cols = [
+        seg.split("=", 1)[0]
+        for seg in os.path.dirname(layout_ref).split(os.sep)[1:]
+        if "=" in seg
+    ]
+    out_rows = source
+    if affected:
+        survivors = _scan_files(spark, out_dir, table, affected).join(keys, on, "left_anti")
+        out_rows = survivors.unionByName(source, allowMissingColumns=True)
+    added: dict[str, list[str]] = {table: []}
+    try:
+        tmp_t = os.path.join(tmp_root, table)
+        writer = out_rows.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(tmp_t)
+        for dirpath, _dirnames, files in os.walk(tmp_t):
+            leaf_rel = os.path.relpath(dirpath, tmp_t)
+            dest_leaf = table if leaf_rel == "." else os.path.join(table, leaf_rel)
+            for f in sorted(files):
+                if not f.endswith(".parquet"):
+                    continue
+                os.makedirs(os.path.join(out_dir, dest_leaf), exist_ok=True)
+                new_rel = os.path.join(dest_leaf, f"mrg{cid}-{f}")
+                os.rename(os.path.join(dirpath, f), os.path.join(out_dir, new_rel))
+                added[table].append(new_rel)
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+    summary = {
+        f"{table}_matched_rows": matched_rows,
+        f"{table}_files_rewritten": len(affected),
+        f"{table}_files_added": len(added[table]),
+    }
+    snap = commit_snapshot(
+        out_dir, added=added, removed={table: affected}, op="overwrite", summary=summary
+    )
+    return {
+        "matched_rows": matched_rows,
+        "files_rewritten": len(affected),
+        "snapshot_id": snap["snapshot_id"],
+        "summary": summary,
+    }
+
+
 def snapshots_table(spark: SparkSession, out_dir: str) -> DataFrame:
     """Iceberg's ``table$snapshots`` metadata table: one row per retained
     snapshot (id, sequence, parent, op, batch, commit time, per-table

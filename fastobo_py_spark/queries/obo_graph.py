@@ -356,6 +356,116 @@ def sql_obo_snapshot_delete() -> str:
     return _values_sql(sorted(out), ["metric", "value"])
 
 
+def q_obo_snapshot_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Copy-on-write MERGE (upsert by key) on the snapshotted KG — the
+    curation-corrections / ontology-version-upsert operation: ingest the
+    corpus, then ``merge_into(edges, on=doc_sha)`` with a source holding
+    (a) the is_a-only edge set of every doc whose doc_sha starts below
+    '4' (UPDATE: those docs' edges are REPLACED by the corrected set —
+    xref/relationship edges drop) and (b) three synthetic new-doc edges
+    (INSERT). Docs below '4' with no is_a edges have no source key, so
+    MERGE leaves them untouched — SQL ON semantics, mirrored in the
+    oracle. Three states checked: HEAD after merge, time travel to the
+    pre-merge snapshot, and after expire_snapshots (the rebase must
+    handle the overwrite snapshot's removed sets)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from fastobo_py_spark.plans import snapshots as S
+    from fastobo_py_spark.plans.pipeline import run_pipeline
+
+    corpus = _corpus_df(spark)
+    out = tempfile.mkdtemp(prefix="kg_mrg_q_")
+    try:
+        m1 = run_pipeline(spark, corpus, out, canonicalize=False)
+        e0 = S.read_table_at(spark, out, "edges")
+        upd = e0.where("substring(doc_sha, 1, 1) < '4' AND pred = 'is_a'")
+        ins = spark.createDataFrame(
+            [
+                (
+                    f"MRG:000000{i}",
+                    "is_a",
+                    "MRG:0000000",
+                    "is_a",
+                    hashlib.sha256(f"merge-insert-{i}".encode()).hexdigest(),
+                    "MRG",
+                    0,
+                )
+                for i in (1, 2, 3)
+            ],
+            "subj string, pred string, obj string, src_tag string, "
+            "doc_sha string, idspace string, salt int",
+        )
+        S.merge_into(spark, out, "edges", upd.unionByName(ins), on="doc_sha")
+
+        def counts(tag, sid=None):
+            e = S.read_table_at(spark, out, "edges", snapshot_id=sid)
+            n = S.read_table_at(spark, out, "nodes", snapshot_id=sid)
+            dist = e.select("subj", "pred", "obj", "doc_sha").distinct()
+            return [
+                (f"docs{tag}", dist.select("doc_sha").distinct().count()),
+                (f"edges{tag}", dist.count()),
+                (f"isa{tag}", dist.where("pred = 'is_a'").count()),
+                (f"nodes{tag}", n.count()),
+            ]
+
+        rows = counts("_head")
+        rows += counts("_tt", m1["snapshot_id"])
+        S.expire_snapshots(out, keep_last=1)
+        rows += counts("_purged")
+        return spark.createDataFrame(sorted(rows), "metric string, value bigint").orderBy("metric")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def sql_obo_snapshot_merge() -> str:
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    rows = generate_corpus(**_CORPUS_KW)
+    clauses, _ = oracle.parse_rows(rows)
+    ix = oracle._IX
+    n_nodes = len(
+        {(c[0], c[3 + ix["frame_id"]]) for c in clauses if c[3] != "Header" and c[3 + ix["frame_id"]]}
+    )
+    edges = oracle.build_edges(rows, canonicalize=False, apply_macros=True)
+    dist = {(s, p, o, sha) for s, p, o, _, sha in edges}
+    # UPDATE scope: docs below '4' owning at least one is_a edge (only
+    # those appear among the source keys — MERGE ON semantics)
+    matched = {sha for (_s, p, _o, sha) in dist if sha[0] < "4" and p == "is_a"}
+    head = {(s, p, o, sha) for (s, p, o, sha) in dist if sha not in matched or p == "is_a"}
+    # INSERT scope: three synthetic new-doc is_a edges
+    import hashlib as _hl
+
+    for i in (1, 2, 3):
+        head.add(
+            (
+                f"MRG:000000{i}",
+                "is_a",
+                "MRG:0000000",
+                _hl.sha256(f"merge-insert-{i}".encode()).hexdigest(),
+            )
+        )
+
+    def stats(es):
+        return (
+            len({e[3] for e in es}),
+            len(es),
+            len([e for e in es if e[1] == "is_a"]),
+            n_nodes,
+        )
+
+    hd, he, hi, hn = stats(head)
+    td, te, ti, tn = stats(dist)
+    out = [
+        ("docs_head", hd), ("edges_head", he), ("isa_head", hi), ("nodes_head", hn),
+        ("docs_tt", td), ("edges_tt", te), ("isa_tt", ti), ("nodes_tt", tn),
+        ("docs_purged", hd), ("edges_purged", he), ("isa_purged", hi), ("nodes_purged", hn),
+    ]
+    return _values_sql(sorted(out), ["metric", "value"])
+
+
 def q_obo_ancestors(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive is_a ancestor closure over the canonical KG — the
     classic downstream ontology query (reference users walk the AST in
@@ -489,6 +599,7 @@ QUERIES.update(
         "obo_time_travel": q_obo_time_travel,
         "obo_snapshot_incremental": q_obo_snapshot_incremental,
         "obo_snapshot_delete": q_obo_snapshot_delete,
+        "obo_snapshot_merge": q_obo_snapshot_merge,
     }
 )
 _GENERATED_ORACLES.update(
@@ -498,6 +609,7 @@ _GENERATED_ORACLES.update(
         "obo_time_travel": sql_obo_time_travel,
         "obo_snapshot_incremental": sql_obo_snapshot_incremental,
         "obo_snapshot_delete": sql_obo_snapshot_delete,
+        "obo_snapshot_merge": sql_obo_snapshot_merge,
     }
 )
 

@@ -198,12 +198,106 @@ ORDER BY doc_id
 """
 
 
+def q_text_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping fixed-window chunking (operators/text.py::chunk) —
+    context-window prep: chunk i covers chars [i*160, i*160+200), every
+    char covered, 40-char overlap, short docs yield exactly one chunk.
+    Pure sequence/explode/substring — a narrow map over the scan."""
+    docs = load_table(spark, sf, "documents")
+    return X.chunk(docs, size=200, stride=160).orderBy("doc_id", "chunk_id")
+
+
+SQL_TEXT_CHUNKS = """
+WITH n AS (
+  SELECT doc_id, text,
+         CAST(1 + ceil(greatest(length(text) - 200, 0) / 160.0) AS BIGINT) AS n_chunks
+  FROM documents
+), c AS (
+  SELECT doc_id, text, unnest(range(0, n_chunks)) AS chunk_id FROM n
+)
+SELECT doc_id, chunk_id,
+       CAST(length(substring(text, CAST(chunk_id * 160 + 1 AS INT), 200)) AS BIGINT) AS chunk_len,
+       md5(substring(text, CAST(chunk_id * 160 + 1 AS INT), 200)) AS chunk_md5
+FROM c
+ORDER BY doc_id, chunk_id
+"""
+
+
+def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling
+    (operators/text.py::stratified_sample) — source mixing: stratum
+    srcK keeps min(255, 12*(K+1))/256 of its documents, decided by the
+    md5(doc_id) prefix so reruns and both engines agree row-for-row.
+    The rates dim is derived from the distinct strata then broadcast;
+    the probe is a scan-side filter, no corpus shuffle."""
+    docs = load_table(spark, sf, "documents")
+    rates = (
+        docs.select(F.col("source").alias("stratum"))
+        .distinct()
+        .select(
+            "stratum",
+            F.least(
+                F.lit(255),
+                12 * (F.substring("stratum", 4, 10).cast("int") + 1),
+            ).alias("rate_per_256"),
+        )
+    )
+    return (
+        X.stratified_sample(docs, rates)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+SQL_CORPUS_SAMPLE = """
+SELECT doc_id, source
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+      < printf('%02x', least(255, 12 * (CAST(substring(source, 4) AS INT) + 1)))
+ORDER BY doc_id
+"""
+
+
+def q_text_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing (operators/text.py::pack_sequences) —
+    pretraining document packing: docs concatenate in id order WITHIN a
+    shard (pmod(doc_id, 8)) and split into 256-token windows; each doc
+    reports its shard, running start offset and starting window. Per-
+    shard packing is the 100 TB shape — shards pack independently after
+    one shuffle, no global order."""
+    docs = load_table(spark, sf, "documents")
+    return X.pack_sequences(docs, window_tokens=256, n_shards=8).orderBy("doc_id")
+
+
+SQL_TEXT_PACK = r"""
+WITH base AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+), off AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM base
+)
+SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(floor(start_offset / 256.0) AS BIGINT) AS window_id
+FROM off
+ORDER BY doc_id
+"""
+
+
 QUERIES.update(
     {
         "text_stats": q_text_stats,
         "text_tokens": q_text_tokens,
         "quality_by_source": q_quality_by_lang,
         "text_pii_scrub": q_text_pii_scrub,
+        "text_chunks": q_text_chunks,
+        "corpus_sample": q_corpus_sample,
+        "text_pack": q_text_pack,
     }
 )
 STATIC_SQLS.update(
@@ -212,5 +306,8 @@ STATIC_SQLS.update(
         "text_tokens": SQL_TEXT_TOKENS,
         "quality_by_source": SQL_QUALITY_BY_LANG,
         "text_pii_scrub": SQL_TEXT_PII_SCRUB,
+        "text_chunks": SQL_TEXT_CHUNKS,
+        "corpus_sample": SQL_CORPUS_SAMPLE,
+        "text_pack": SQL_TEXT_PACK,
     }
 )

@@ -483,6 +483,67 @@ def test_delete_where_copy_on_write(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_merge_into_copy_on_write(spark):
+    """merge_into = Iceberg CoW MERGE: every target row whose key appears
+    in the source is replaced by the source's row-set for that key
+    (update as delete+reinsert), unmatched source keys insert, NULL keys
+    never match (target NULL-key rows survive; source NULL-key rows are
+    pure inserts), unaffected files keep their physical identity, time
+    travel sees the pre-merge state, and the incremental append scan
+    refuses to cross the overwrite."""
+    out = tempfile.mkdtemp(prefix="snap_mrg_")
+    try:
+        pre = S.list_data_files(out)
+        _write_batch(spark, out, [("A", 1), ("A", 10)])
+        s1, post1 = _commit_delta(out, pre)
+        _write_batch(spark, out, [("B", 2), ("B", None), ("A", 10)])
+        s2, _ = _commit_delta(out, post1)
+        files_before = set(S.resolve_files(out, "nodes"))
+
+        src = spark.createDataFrame(
+            [("C", 10), ("D", 77), ("E", None)], "idspace string, x int"
+        )
+        st = S.merge_into(spark, out, "nodes", src, on="x")
+        # x=10 lived in two files (one per batch) with two rows total
+        assert st["matched_rows"] == 2 and st["files_rewritten"] == 2
+        head = S.read_table_at(spark, out, "nodes").collect()
+        assert sorted([(r["idspace"], r["x"]) for r in head], key=str) == sorted(
+            [("A", 1), ("B", 2), ("B", None), ("C", 10), ("D", 77), ("E", None)], key=str
+        )
+        # B's leaf held no matched key: physical identity preserved
+        files_after = set(S.resolve_files(out, "nodes"))
+        b_files = {f for f in files_before if "idspace=B" in f}
+        assert b_files <= files_after
+
+        # time travel: pre-merge snapshot still sees the replaced rows
+        tt = S.read_table_at(spark, out, "nodes", snapshot_id=s2["snapshot_id"])
+        assert sorted(r["x"] for r in tt.collect() if r["x"] is not None) == [1, 2, 10, 10]
+        # incremental scan across the overwrite is undefined
+        with pytest.raises(ValueError, match="non-append"):
+            S.incremental_files(out, "nodes", s1["snapshot_id"])
+        # summary surfaces in the metadata table
+        meta = {r["snapshot_id"]: r for r in S.snapshots_table(spark, out).collect()}
+        assert meta[st["snapshot_id"]]["op"] == "overwrite"
+        assert meta[st["snapshot_id"]]["summary"]["nodes_matched_rows"] == 2
+
+        # a column the source adds is add-column evolution: survivors of
+        # rewritten files get NULL, HEAD reads merge, old snapshots keep
+        # the old schema
+        src2 = spark.createDataFrame([("F", 77, 9)], "idspace string, x int, y int")
+        S.merge_into(spark, out, "nodes", src2, on="x")
+        head2 = S.read_table_at(spark, out, "nodes")
+        assert "y" in head2.columns
+        got = {(r["idspace"], r["x"]): r["y"] for r in head2.collect()}
+        assert got[("F", 77)] == 9 and got[("A", 1)] is None
+        assert "y" not in S.read_table_at(spark, out, "nodes", snapshot_id=s2["snapshot_id"]).columns
+
+        # physical purge of replaced files; HEAD counts unchanged
+        S.expire_snapshots(out, keep_last=1)
+        assert S.read_table_at(spark, out, "nodes").count() == 6
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_tags_pin_snapshots_through_expiration(spark):
     """Tags (Iceberg refs): read_table_at(tag=...) resolves the pinned
     snapshot; expire_snapshots RETAINS tagged snapshots and their files
