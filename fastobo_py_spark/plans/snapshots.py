@@ -441,14 +441,15 @@ def expire_snapshots(out_dir: str, keep_last: int = 1, tables: tuple = TABLES) -
 def remove_orphan_files(out_dir: str, tables: tuple = TABLES) -> int:
     """Delete data files referenced by NO retained snapshot — the debris
     of a crash between data write and snapshot commit. Also reaps
-    ``_rewrite_tmp-*`` / ``_delete_tmp-*`` staging dirs a crashed
-    rewrite_data_files / delete_where left behind (they sit beside the
-    table roots, invisible to readers but holding disk). Run out-of-band
-    (single-writer window), like Iceberg's ``removeOrphanFiles``."""
+    ``_rewrite_tmp-*`` / ``_delete_tmp-*`` / ``_merge_tmp-*`` staging
+    dirs a crashed rewrite_data_files / delete_where / merge_into left
+    behind (they sit beside the table roots, invisible to readers but
+    holding disk). Run out-of-band (single-writer window), like
+    Iceberg's ``removeOrphanFiles``."""
     import shutil
 
     for d in os.listdir(out_dir) if os.path.isdir(out_dir) else ():
-        if d.startswith(("_rewrite_tmp-", "_delete_tmp-")):
+        if d.startswith(("_rewrite_tmp-", "_delete_tmp-", "_merge_tmp-")):
             shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
     snaps = list_snapshots(out_dir)
     if not snaps:

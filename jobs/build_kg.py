@@ -63,6 +63,19 @@ def main(argv: list[str] | None = None) -> int:
         "predicate from nodes+edges (takedown; commits an op=delete "
         "snapshot — combine with --expire-snapshots for a physical purge)",
     )
+    ap.add_argument(
+        "--merge-into",
+        default=None,
+        nargs=2,
+        metavar=("TABLE", "SOURCE_PARQUET"),
+        help="after the batch, copy-on-write MERGE (upsert by key) the "
+        "parquet at SOURCE_PARQUET into TABLE (nodes|edges): target rows "
+        "whose --merge-on key appears in the source are replaced by the "
+        "source's rows for that key, unmatched source keys insert "
+        "(commits an op=overwrite snapshot)",
+    )
+    ap.add_argument("--merge-on", default="doc_sha", metavar="KEY[,KEY...]",
+                    help="comma-separated merge key columns (default doc_sha)")
     ap.add_argument("--expire-snapshots", type=int, default=None, metavar="KEEP",
                     help="after the batch, keep only the newest KEEP snapshots and "
                     "delete data files no retained snapshot references")
@@ -118,6 +131,19 @@ def main(argv: list[str] | None = None) -> int:
             from fastobo_py_spark.plans import snapshots as snap
 
             metrics["delete_where"] = snap.delete_where(spark, args.out, args.delete_where)
+        if args.merge_into:
+            from fastobo_py_spark.plans import snapshots as snap
+
+            table, src_path = args.merge_into
+            if table not in snap.TABLES:
+                ap.error(f"--merge-into table must be one of {snap.TABLES}, got {table!r}")
+            metrics["merge_into"] = snap.merge_into(
+                spark,
+                args.out,
+                table,
+                spark.read.parquet(src_path),
+                on=[c for c in args.merge_on.split(",") if c],
+            )
         if args.expire_snapshots is not None:
             from fastobo_py_spark.plans import snapshots as snap
 

@@ -245,3 +245,33 @@ def test_hub_salting_distributes_skew(spark):
     # deterministic: same input → same salts
     again = {tuple(r) for r in with_salt(e, "subj", 16).collect()}
     assert again == {tuple(r) for r in salted.collect()}
+
+
+def test_corpus_shaping_plans(spark):
+    """Corpus-shaping scale contracts: chunk is a narrow no-shuffle map
+    over the scan, stratified_sample is a broadcast-probe filter with no
+    corpus Exchange, and pack_sequences shuffles EXACTLY once (by shard)
+    — the properties that let each pipeline with the scan at 100 TB."""
+    from fastobo_py_spark.operators.text import chunk, pack_sequences, stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p_chunk = chunk(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p_chunk, p_chunk
+        # column pruning: the chunker reads only what it consumes
+        read_schema = p_chunk.split("ReadSchema: ")[1].split("\n")[0]
+        assert "lang" not in read_schema and "source" not in read_schema, read_schema
+
+        rates = spark.createDataFrame([("src0", 128)], "stratum string, rate_per_256 int")
+        p_sample = (
+            stratified_sample(docs, rates)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in p_sample, p_sample
+        assert "Exchange hashpartitioning" not in p_sample, p_sample
+
+        p_pack = pack_sequences(docs)._jdf.queryExecution().executedPlan().toString()
+        assert p_pack.count("Exchange hashpartitioning") == 1, p_pack
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)

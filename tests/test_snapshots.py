@@ -275,6 +275,54 @@ def test_build_kg_cli_delete_and_tag(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_build_kg_cli_merge_into(spark):
+    """CLI integration for --merge-into: a corrections parquet (one
+    doc's edges rewritten to a single marker edge) upserts by doc_sha
+    through the CLI and the result reads back from HEAD."""
+    import json as _json
+    import os as _os
+    import subprocess
+    import sys
+
+    out = tempfile.mkdtemp(prefix="kg_cli_mrg_")
+    src_dir = tempfile.mkdtemp(prefix="kg_cli_mrg_src_")
+    try:
+        cli = [_os.path.join(_os.path.dirname(__file__), "..", "jobs", "build_kg.py")]
+        proc = subprocess.run(
+            [sys.executable, *cli, "--synthetic", "8", "--out", out,
+             "--no-canonicalize", "--master", "local[4]"],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        edges = S.read_table_at(spark, out, "edges")
+        sha = edges.select("doc_sha").orderBy("doc_sha").first()["doc_sha"]
+        spark.createDataFrame(
+            [("FIX:0000001", "is_a", "FIX:0000000", "is_a", sha, "FIX", 0)],
+            "subj string, pred string, obj string, src_tag string, "
+            "doc_sha string, idspace string, salt int",
+        ).write.parquet(_os.path.join(src_dir, "corrections"))
+
+        proc = subprocess.run(
+            [sys.executable, *cli, "--synthetic", "8", "--out", out,
+             "--no-canonicalize", "--master", "local[4]",
+             "--merge-into", "edges", _os.path.join(src_dir, "corrections"),
+             "--merge-on", "doc_sha"],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        metrics = _json.loads(proc.stdout.strip().splitlines()[-1])
+        assert metrics["merge_into"]["matched_rows"] > 0
+        head = S.read_table_at(spark, out, "edges")
+        got = head.where(head.doc_sha == sha).collect()
+        assert [(r["subj"], r["pred"], r["obj"]) for r in got] == [
+            ("FIX:0000001", "is_a", "FIX:0000000")
+        ]
+        assert head.count() > 1  # other docs untouched
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+
 def test_build_kg_cli_flag_validation():
     """CLI guard rails: --synthetic 0 and the destructive/non-destructive
     compaction pair are usage errors (exit 2), before any Spark startup."""
