@@ -229,7 +229,9 @@ def chunk(
         F.lit(1)
         + F.ceil(F.greatest(F.length(t) - F.lit(size), F.lit(0)) / F.lit(float(stride)))
     ).cast("long")
-    piece = F.expr(f"substring({text_col}, chunk_id * {stride} + 1, {size})")
+    piece = F.substring(
+        F.col(text_col), (F.col("chunk_id") * stride + 1).cast("int"), F.lit(size)
+    )
     return (
         documents.select(
             id_col, text_col, F.explode(F.sequence(F.lit(0).cast("long"), n - 1)).alias("chunk_id")
@@ -244,8 +246,17 @@ def chunk(
 
 
 def sample_threshold(rate_per_256: Column) -> Column:
-    """Two-hex-char cutoff for a deterministic ``rate/256`` sample."""
-    return F.lpad(F.lower(F.conv(rate_per_256.cast("string"), 10, 16)), 2, "0")
+    """Two-hex-char cutoff for a deterministic ``rate/256`` sample.
+    Clamped at both ends — ``<= 0`` keeps nothing (cutoff ``'00'``) and
+    ``>= 256`` keeps everything (cutoff ``'g'``, above every hex pair) —
+    because lpad truncation of an unclamped 3-hex value (256 → '100' →
+    '10') would silently INVERT the decision to ~6% kept."""
+    hex2 = F.lpad(F.lower(F.conv(rate_per_256.cast("string"), 10, 16)), 2, "0")
+    return (
+        F.when(rate_per_256 <= 0, F.lit("00"))
+        .when(rate_per_256 >= 256, F.lit("g"))
+        .otherwise(hex2)
+    )
 
 
 def stratified_sample(
@@ -262,15 +273,25 @@ def stratified_sample(
     (not ``rand()``): the same document always makes the same decision,
     so reruns, resumes and two engines agree row-for-row. The rates dim
     broadcasts; the probe is a scan-side filter — no shuffle of the
-    corpus."""
-    cut = rates.select(
-        F.col("stratum").alias(stratum_col),
-        sample_threshold(F.col("rate_per_256")).alias("_cut"),
+    corpus.
+
+    Contract: a stratum MISSING from ``rates`` samples at rate 0 (its
+    documents are dropped — explicit, not an inner-join accident), and
+    duplicate stratum rows resolve deterministically to the HIGHEST
+    rate, so a sloppy rates feed can widen but never silently narrow a
+    stratum."""
+    cut = (
+        rates.select(
+            F.col("stratum").alias(stratum_col),
+            sample_threshold(F.col("rate_per_256")).alias("_cut"),
+        )
+        .groupBy(stratum_col)
+        .agg(F.max("_cut").alias("_cut"))
     )
     bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
     return (
-        documents.join(F.broadcast(cut), stratum_col, "inner")
-        .where(bucket < F.col("_cut"))
+        documents.join(F.broadcast(cut), stratum_col, "left")
+        .where(bucket < F.coalesce(F.col("_cut"), F.lit("00")))
         .drop("_cut")
     )
 

@@ -62,6 +62,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 SNAP_DIR = "_snapshots"
 TABLES = ("nodes", "edges")
+# a merge source's distinct single-column key set at or below this size
+# is collected and pushed into the probe scan as an In filter (file-level
+# footer-stat skipping); above it the probe falls back to a semi-join
+_MERGE_PUSHDOWN_KEYS = 1000
+# the pipeline's write layout (run_pipeline's partitionBy) — the fallback
+# partition spec when a table is momentarily empty (e.g. a full
+# delete_where) and no on-disk leaf path can witness the layout; writing
+# FLAT there would poison every later partitioned read with Spark's
+# "conflicting directory structures" error
+TABLE_PARTITIONS = {"nodes": ("idspace",), "edges": ("idspace", "salt")}
 
 
 def _snap_root(out_dir: str) -> str:
@@ -687,6 +697,48 @@ def _uri_to_rel(uri: str, out_dir: str) -> str:
     return os.path.relpath(p, out_dir)
 
 
+def _part_cols_for(out_dir: str, table: str, layout_ref: str) -> list[str]:
+    """Partition columns for a rewrite: read them off an existing leaf
+    path when one exists (uniform per table — one writer produced the
+    layout), else fall back to the pipeline's known spec
+    (``TABLE_PARTITIONS``) so an insert into an emptied table cannot
+    write flat and break the directory structure."""
+    if layout_ref:
+        return [
+            seg.split("=", 1)[0]
+            for seg in os.path.dirname(layout_ref).split(os.sep)[1:]
+            if "=" in seg
+        ]
+    return list(TABLE_PARTITIONS.get(table, ()))
+
+
+def _stage_and_adopt(
+    df: DataFrame, out_dir: str, table: str, part_cols: list[str], prefix: str, tmp_root: str
+) -> list[str]:
+    """Write ``df`` partitioned under a staging dir, then adopt each
+    parquet part into the live table tree under a run-unique name (one
+    rename per file — the same two-phase shape delete_where /
+    rewrite_data_files use so a crash never leaves a half-visible
+    rewrite). Returns the adopted out_dir-relative paths."""
+    tmp_t = os.path.join(tmp_root, table)
+    writer = df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(tmp_t)
+    added: list[str] = []
+    for dirpath, _dirnames, files in os.walk(tmp_t):
+        leaf_rel = os.path.relpath(dirpath, tmp_t)
+        dest_leaf = table if leaf_rel == "." else os.path.join(table, leaf_rel)
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            os.makedirs(os.path.join(out_dir, dest_leaf), exist_ok=True)
+            new_rel = os.path.join(dest_leaf, f"{prefix}-{f}")
+            os.rename(os.path.join(dirpath, f), os.path.join(out_dir, new_rel))
+            added.append(new_rel)
+    return added
+
+
 def delete_where(
     spark: SparkSession, out_dir: str, predicate: str, tables: tuple = TABLES
 ) -> dict:
@@ -747,30 +799,11 @@ def delete_where(
             if not per_file:
                 continue
             affected = sorted(_uri_to_rel(r["uri"], out_dir) for r in per_file)
-            # partition columns from the leaf path (uniform per table —
-            # one writer produced the layout); values live in the dir
-            # names, so partitionBy on rewrite reproduces the same leaves
-            part_cols = [
-                seg.split("=", 1)[0]
-                for seg in os.path.dirname(affected[0]).split(os.sep)[1:]
-                if "=" in seg
-            ]
+            # partition values live in the dir names, so partitionBy on
+            # rewrite reproduces the same leaves
+            part_cols = _part_cols_for(out_dir, t, affected[0])
             keep = _scan_files(spark, out_dir, t, affected).where(~hit)
-            tmp_t = os.path.join(tmp_root, t)
-            writer = keep.write.mode("overwrite")
-            if part_cols:
-                writer = writer.partitionBy(*part_cols)
-            writer.parquet(tmp_t)
-            for dirpath, _dirnames, files in os.walk(tmp_t):
-                leaf_rel = os.path.relpath(dirpath, tmp_t)
-                dest_leaf = t if leaf_rel == "." else os.path.join(t, leaf_rel)
-                for f in sorted(files):
-                    if not f.endswith(".parquet"):
-                        continue
-                    os.makedirs(os.path.join(out_dir, dest_leaf), exist_ok=True)
-                    new_rel = os.path.join(dest_leaf, f"del{cid}-{f}")
-                    os.rename(os.path.join(dirpath, f), os.path.join(out_dir, new_rel))
-                    added[t].append(new_rel)
+            added[t] = _stage_and_adopt(keep, out_dir, t, part_cols, f"del{cid}", tmp_root)
             removed[t] = affected
             summary[f"{t}_deleted_rows"] = int(sum(r["count"] for r in per_file))
             summary[f"{t}_files_rewritten"] = len(affected)
@@ -803,28 +836,36 @@ def merge_into(
     upsert or a curation-corrections feed needs: "replace these
     documents' edges with the corrected set, add the new documents".
 
-    Same two-phase CoW shape as :func:`delete_where`, scaling by the
-    DELTA, not the table:
+    Same two-phase CoW shape as :func:`delete_where`:
 
-      1. **Find affected files**: one semi-join of the HEAD file set
-         against the distinct source keys, counted per
-         ``input_file_name()`` — partition pruning and parquet footer
-         stats prune unaffected files before they're read (Iceberg's
-         column-metrics role).
+      1. **Find affected files**: when the key is a single column with a
+         small distinct set (≤ ``_MERGE_PUSHDOWN_KEYS`` — the common
+         corrections-feed shape), the key VALUES are collected and pushed
+         into the scan as an ``In`` filter, so parquet footer stats /
+         dictionaries and partition pruning skip unaffected files without
+         reading them (Iceberg's column-metrics role) — the probe then
+         scales by the delta. Otherwise one semi-join against the
+         distinct source keys counts matches per ``input_file_name()``;
+         that probe reads the table once (no row-group pruning for join
+         keys — the honest large-source cost, same as Iceberg's
+         CoW MERGE planning scan).
       2. **Rewrite + insert in ONE write job**: survivors (target
          anti-join source keys — SQL join semantics, so a NULL key never
          matches and its target rows always survive) are unioned with
          the full source (``allowMissingColumns`` — a column the source
          adds lands as Iceberg add-column evolution: old snapshots keep
          the old schema, HEAD reads merge) and written partitionBy'd
-         once; a single ``op="overwrite"`` snapshot flips readers
-         atomically. Unaffected files are never read twice.
+         once; a single snapshot flips readers atomically. Unaffected
+         files are never read twice.
 
-    ``incremental_files`` refuses to scan across the merge snapshot
-    (non-append row semantics — matched rows were REPLACED), exactly like
-    Iceberg's incremental append scan over an overwrite. Time travel to
-    pre-merge snapshots still reads the original files until
-    :func:`expire_snapshots`.
+    Snapshot op semantics: matched rows → ``op="overwrite"`` and
+    ``incremental_files`` refuses to scan across it (rows were
+    REPLACED), exactly like Iceberg's incremental append scan over an
+    overwrite; a pure insert (no matched key) commits ``op="append"``
+    and stays incrementally scannable; a fully-empty merge (no matches,
+    empty source) commits nothing and returns ``snapshot_id=None``.
+    Time travel to pre-merge snapshots still reads the original files
+    until :func:`expire_snapshots`.
 
     ``source`` must carry the table's partition columns (``idspace``,
     and ``salt`` for edges) — the same contract Iceberg's writer
@@ -841,65 +882,79 @@ def merge_into(
     if current_snapshot_id(out_dir) is None:
         raise ValueError("merge_into needs a snapshot log (run a pipeline batch first)")
     on = [on] if isinstance(on, str) else list(on)
+    if not on:
+        raise ValueError("merge_into needs at least one merge key column")
     cid = uuid.uuid4().hex[:8]
     tmp_root = os.path.join(out_dir, f"_merge_tmp-{cid}")
     rels = resolve_files(out_dir, table)
-    # distinct keys once; reused by the semi-join probe and the anti-join
-    # rewrite (Catalyst broadcasts when small, shuffles when not). NULL
-    # keys need no special casing: equality joins never match them, so a
-    # NULL-keyed target row always survives and a NULL-keyed source row
-    # is a pure insert — MERGE ON semantics
+    # distinct keys once; reused by the probe and the anti-join rewrite
+    # (Catalyst broadcasts when small, shuffles when not). NULL keys need
+    # no special casing: equality joins never match them, so a NULL-keyed
+    # target row always survives and a NULL-keyed source row is a pure
+    # insert — MERGE ON semantics
     keys = source.select(*on).distinct()
+    # single-column key with a bounded distinct set → collect the values
+    # and push an In filter into the scan (footer-stats file skipping);
+    # the limit(N+1) probe is the only extra job and reads just the delta
+    pushdown_vals: list | None = None
+    if len(on) == 1:
+        sample = keys.limit(_MERGE_PUSHDOWN_KEYS + 1).collect()
+        if len(sample) <= _MERGE_PUSHDOWN_KEYS:
+            # NULLs never match; a NULL inside isin() would turn the
+            # survivors' negation into NULL and drop innocent rows
+            pushdown_vals = [r[0] for r in sample if r[0] is not None]
     affected: list[str] = []
     matched_rows = 0
     if rels:
         scan = _scan_files(spark, out_dir, table, rels)
-        # project input_file_name over the single-source scan BEFORE the
-        # join: with the source being a scan itself (it usually is — a
-        # corrected slice of the same table), the expression would
-        # otherwise sit above two file sources and fail analysis
-        tagged = scan.select(F.input_file_name().alias("_uri"), *on)
-        per_file = tagged.join(keys, on, "left_semi").groupBy("_uri").count().collect()
+        if pushdown_vals is not None:
+            per_file = (
+                scan.where(F.col(on[0]).isin(pushdown_vals))
+                .groupBy(F.input_file_name().alias("_uri"))
+                .count()
+                .collect()
+                if pushdown_vals
+                else []
+            )
+        else:
+            # project input_file_name over the single-source scan BEFORE
+            # the join: with the source being a scan itself (it usually
+            # is — a corrected slice of the same table), the expression
+            # would otherwise sit above two file sources and fail analysis
+            tagged = scan.select(F.input_file_name().alias("_uri"), *on)
+            per_file = tagged.join(keys, on, "left_semi").groupBy("_uri").count().collect()
         affected = sorted(_uri_to_rel(r["_uri"], out_dir) for r in per_file)
         matched_rows = int(sum(r["count"] for r in per_file))
-    # partition columns from any HEAD leaf path (uniform per table — one
-    # writer produced the layout); an empty/unpartitioned table inserts flat
     layout_ref = affected[0] if affected else (rels[0] if rels else "")
-    part_cols = [
-        seg.split("=", 1)[0]
-        for seg in os.path.dirname(layout_ref).split(os.sep)[1:]
-        if "=" in seg
-    ]
+    part_cols = _part_cols_for(out_dir, table, layout_ref)
     out_rows = source
     if affected:
-        survivors = _scan_files(spark, out_dir, table, affected).join(keys, on, "left_anti")
+        aff = _scan_files(spark, out_dir, table, affected)
+        if pushdown_vals is not None:
+            k = F.col(on[0])
+            survivors = aff.where(~k.isin(pushdown_vals) | k.isNull())
+        else:
+            survivors = aff.join(keys, on, "left_anti")
         out_rows = survivors.unionByName(source, allowMissingColumns=True)
-    added: dict[str, list[str]] = {table: []}
     try:
-        tmp_t = os.path.join(tmp_root, table)
-        writer = out_rows.write.mode("overwrite")
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
-        writer.parquet(tmp_t)
-        for dirpath, _dirnames, files in os.walk(tmp_t):
-            leaf_rel = os.path.relpath(dirpath, tmp_t)
-            dest_leaf = table if leaf_rel == "." else os.path.join(table, leaf_rel)
-            for f in sorted(files):
-                if not f.endswith(".parquet"):
-                    continue
-                os.makedirs(os.path.join(out_dir, dest_leaf), exist_ok=True)
-                new_rel = os.path.join(dest_leaf, f"mrg{cid}-{f}")
-                os.rename(os.path.join(dirpath, f), os.path.join(out_dir, new_rel))
-                added[table].append(new_rel)
+        adopted = _stage_and_adopt(out_rows, out_dir, table, part_cols, f"mrg{cid}", tmp_root)
     finally:
         shutil.rmtree(tmp_root, ignore_errors=True)
+    if not affected and not adopted:
+        # nothing matched, nothing to insert — like delete_where's
+        # no-match case, commit nothing
+        return {"matched_rows": 0, "files_rewritten": 0, "snapshot_id": None}
     summary = {
         f"{table}_matched_rows": matched_rows,
         f"{table}_files_rewritten": len(affected),
-        f"{table}_files_added": len(added[table]),
+        f"{table}_files_added": len(adopted),
     }
     snap = commit_snapshot(
-        out_dir, added=added, removed={table: affected}, op="overwrite", summary=summary
+        out_dir,
+        added={table: adopted},
+        removed={table: affected},
+        op="overwrite" if affected else "append",
+        summary=summary,
     )
     return {
         "matched_rows": matched_rows,

@@ -96,6 +96,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.compact_outputs and args.rewrite_data_files:
         ap.error("--compact-outputs (destructive) and --rewrite-data-files "
                  "(snapshot-preserving) are mutually exclusive")
+    # merge args are usage-validated BEFORE Spark starts (the repo's CLI
+    # convention) — a typo'd table name must not burn a whole batch and
+    # then swallow its metrics JSON on exit
+    merge_on_cols = [c for c in args.merge_on.split(",") if c]
+    if args.merge_into:
+        if args.merge_into[0] not in ("nodes", "edges"):
+            ap.error(f"--merge-into table must be one of ('nodes', 'edges'), got {args.merge_into[0]!r}")
+        if not merge_on_cols:
+            ap.error("--merge-on needs at least one key column")
 
     from fastobo_py_spark.plans.pipeline import compact_outputs, run_pipeline
     from fastobo_py_spark.session import get_spark
@@ -135,14 +144,8 @@ def main(argv: list[str] | None = None) -> int:
             from fastobo_py_spark.plans import snapshots as snap
 
             table, src_path = args.merge_into
-            if table not in snap.TABLES:
-                ap.error(f"--merge-into table must be one of {snap.TABLES}, got {table!r}")
             metrics["merge_into"] = snap.merge_into(
-                spark,
-                args.out,
-                table,
-                spark.read.parquet(src_path),
-                on=[c for c in args.merge_on.split(",") if c],
+                spark, args.out, table, spark.read.parquet(src_path), on=merge_on_cols
             )
         if args.expire_snapshots is not None:
             from fastobo_py_spark.plans import snapshots as snap

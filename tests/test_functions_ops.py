@@ -776,3 +776,45 @@ def test_asof_join_matched_row_stays_whole(spark):
     # match is the ts=60 row: click_id=6 with its OWN NULL label — not
     # label='rich' torn off the ts=50 row
     assert (row["click_id"], row["label"], row["click_ts"]) == (6, None, 60)
+
+
+def test_corpus_shaping_semantics(spark):
+    """chunk coverage/overlap math, sample_threshold clamping (an
+    unclamped 256 would lpad-truncate '100'→'10' and keep ~6% instead of
+    all), and stratified_sample's stated contract: missing stratum =
+    rate 0, duplicate stratum rows = highest rate wins."""
+    from pyspark.sql import functions as F
+
+    from fastobo_py_spark.operators.text import chunk, sample_threshold, stratified_sample
+
+    # chunk: exactly-one chunk for short/empty docs; full coverage with
+    # the stated overlap for a long one (len 500, size 200, stride 160
+    # → n = 1+ceil(300/160) = 3; last chunk holds 500-320=180 chars)
+    docs = spark.createDataFrame(
+        [(1, "x" * 500), (2, "hi"), (3, "")], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): r["chunk_len"]
+        for r in chunk(docs, size=200, stride=160).collect()
+    }
+    assert got == {(1, 0): 200, (1, 1): 200, (1, 2): 180, (2, 0): 2, (3, 0): 0}
+
+    # threshold clamping at both ends; interior value is 2-hex
+    rates = spark.createDataFrame(
+        [(-5,), (0,), (16,), (255,), (256,), (999,)], "r int"
+    )
+    cuts = [r["c"] for r in rates.select(sample_threshold(F.col("r")).alias("c")).collect()]
+    assert cuts == ["00", "00", "10", "ff", "g", "g"]
+
+    # rate>=256 keeps EVERY document; missing stratum keeps none;
+    # duplicate stratum rows resolve to the highest rate
+    docs2 = spark.createDataFrame(
+        [(i, "keep_all" if i % 2 else "unknown") for i in range(40)],
+        "doc_id long, source string",
+    )
+    rdim = spark.createDataFrame(
+        [("keep_all", 3), ("keep_all", 256)], "stratum string, rate_per_256 int"
+    )
+    kept = stratified_sample(docs2, rdim).select("doc_id", "source").collect()
+    assert {r["source"] for r in kept} == {"keep_all"}
+    assert len(kept) == 20  # every keep_all doc survives via the max-rate row

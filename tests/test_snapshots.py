@@ -340,6 +340,15 @@ def test_build_kg_cli_flag_validation():
     with pytest.raises(SystemExit) as e:
         mod.main(["--synthetic", "5", "--out", "/tmp/x", "--compact-outputs", "--rewrite-data-files"])
     assert e.value.code == 2
+    # a typo'd merge table or empty key list must die BEFORE the batch
+    # runs (otherwise the whole run's metrics JSON is lost on exit)
+    with pytest.raises(SystemExit) as e:
+        mod.main(["--synthetic", "5", "--out", "/tmp/x", "--merge-into", "edge", "/tmp/src"])
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        mod.main(["--synthetic", "5", "--out", "/tmp/x",
+                  "--merge-into", "edges", "/tmp/src", "--merge-on", ","])
+    assert e.value.code == 2
 
 
 def test_heal_does_not_resurrect_rolled_back_data(spark, corpus):
@@ -590,6 +599,65 @@ def test_merge_into_copy_on_write(spark):
         assert S.read_table_at(spark, out, "nodes").count() == 6
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_merge_into_op_semantics_and_edge_cases(spark):
+    """Snapshot-op contract: a pure insert commits op='append' (the
+    incremental scan keeps working across it), a fully-empty merge
+    commits NOTHING, a multi-column key exercises the semi-join probe
+    (no value pushdown), an emptied table falls back to the known
+    partition spec instead of writing flat, and an empty key list is an
+    up-front ValueError."""
+    out = tempfile.mkdtemp(prefix="snap_mrg2_")
+    try:
+        pre = S.list_data_files(out)
+        _write_batch(spark, out, [("A", 1), ("B", 2)])
+        s1, _ = _commit_delta(out, pre)
+
+        with pytest.raises(ValueError, match="at least one merge key"):
+            S.merge_into(spark, out, "nodes", spark.createDataFrame([("A", 1)], "idspace string, x int"), on=[])
+
+        # pure insert: no key matches → op=append, incremental scan OK
+        ins = spark.createDataFrame([("C", 30)], "idspace string, x int")
+        st = S.merge_into(spark, out, "nodes", ins, on="x")
+        assert st["matched_rows"] == 0 and st["files_rewritten"] == 0
+        meta = {r["snapshot_id"]: r for r in S.snapshots_table(spark, out).collect()}
+        assert meta[st["snapshot_id"]]["op"] == "append"
+        inc = S.read_incremental(spark, out, "nodes", s1["snapshot_id"])
+        assert [(r["idspace"], r["x"]) for r in inc.collect()] == [("C", 30)]
+
+        # fully-empty merge: nothing matched, nothing inserted → no commit
+        empty = spark.createDataFrame([], "idspace string, x int")
+        st2 = S.merge_into(spark, out, "nodes", empty, on="x")
+        assert st2["snapshot_id"] is None
+        assert S.current_snapshot_id(out) == st["snapshot_id"]
+
+        # multi-column key → semi-join probe path, same row semantics
+        src = spark.createDataFrame([("C", 30), ("D", 40)], "idspace string, x int")
+        st3 = S.merge_into(spark, out, "nodes", src, on=["idspace", "x"])
+        assert st3["matched_rows"] == 1 and st3["files_rewritten"] == 1
+        head = sorted((r["idspace"], r["x"]) for r in S.read_table_at(spark, out, "nodes").collect())
+        assert head == [("A", 1), ("B", 2), ("C", 30), ("D", 40)]
+
+        # empty the table, then insert: the rewrite must keep the
+        # partitioned layout (TABLE_PARTITIONS fallback), not write flat
+        S.delete_where(spark, out, "x IS NOT NULL", tables=("nodes",))
+        assert S.read_table_at(spark, out, "nodes").count() == 0
+        st4 = S.merge_into(
+            spark, out, "nodes", spark.createDataFrame([("E", 5)], "idspace string, x int"), on="x"
+        )
+        assert all(rel.startswith("nodes/idspace=E/") for rel in
+                   S.resolve_files(out, "nodes")), S.resolve_files(out, "nodes")
+        rows = S.read_table_at(spark, out, "nodes").collect()
+        assert [(r["idspace"], r["x"]) for r in rows] == [("E", 5)]
+        assert meta_op(spark, out, st4["snapshot_id"]) == "append"
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def meta_op(spark, out, sid):
+    rows = {r["snapshot_id"]: r["op"] for r in S.snapshots_table(spark, out).collect()}
+    return rows[sid]
 
 
 def test_tags_pin_snapshots_through_expiration(spark):
