@@ -617,6 +617,7 @@ def rewrite_data_files(
     tables: tuple = TABLES,
     max_parts: int = 32,
     target_bytes: int = 128 << 20,
+    sort_by: list[str] | None = None,
 ) -> dict:
     """Iceberg-style NON-destructive small-file compaction: compacted
     part files are written ALONGSIDE the originals (unique names inside
@@ -633,6 +634,15 @@ def rewrite_data_files(
     consistent table during/after this op — a plain
     ``spark.read.parquet(root)`` would double-count until expiration,
     exactly as listing an Iceberg data dir would.
+
+    ``sort_by`` switches from Iceberg's binpack strategy to its SORT
+    strategy: every leaf is rewritten (not just fragmented ones) with
+    rows range-partitioned then sorted on the given columns, so each
+    output file covers a DISJOINT value range. Parquet footer min/max
+    stats then let a point or range predicate on those columns skip
+    every other file — this is what makes `delete_where` /
+    `merge_into` probes on a well-clustered `doc_sha` scale by the
+    delta instead of the table.
     """
     import shutil
 
@@ -651,7 +661,9 @@ def rewrite_data_files(
                 by_leaf.setdefault(os.path.dirname(rel), []).append(rel)
             for leaf_rel, rels in sorted(by_leaf.items()):
                 stats["leaves_seen"] += 1
-                if len(rels) <= max_parts:
+                # sort strategy re-clusters EVERY leaf; binpack only
+                # rewrites fragmented ones
+                if len(rels) <= max_parts and not sort_by:
                     continue
                 n_bytes = sum(os.path.getsize(os.path.join(out_dir, r)) for r in rels)
                 n_out = max(1, (n_bytes + target_bytes - 1) // target_bytes)
@@ -663,9 +675,18 @@ def rewrite_data_files(
                 # picks ONE file's schema and the compacted replacement
                 # silently drops the other files' added columns (permanent
                 # loss once expire_snapshots reaps the originals)
-                spark.read.option("mergeSchema", "true").parquet(
+                leaf_df = spark.read.option("mergeSchema", "true").parquet(
                     *[os.path.join(out_dir, r) for r in sorted(rels)]
-                ).repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
+                )
+                if sort_by:
+                    from pyspark.sql import functions as F
+
+                    leaf_df = leaf_df.repartitionByRange(
+                        int(n_out), *[F.col(c) for c in sort_by]
+                    ).sortWithinPartitions(*sort_by)
+                else:
+                    leaf_df = leaf_df.repartition(int(n_out))
+                leaf_df.write.mode("overwrite").parquet(tmp)
                 for f in sorted(os.listdir(tmp)):
                     if not f.endswith(".parquet"):
                         continue

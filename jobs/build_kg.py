@@ -56,6 +56,14 @@ def main(argv: list[str] | None = None) -> int:
         "--expire-snapshots); mutually exclusive with --compact-outputs",
     )
     ap.add_argument(
+        "--rewrite-sort-by",
+        default=None,
+        metavar="COL[,COL...]",
+        help="with --rewrite-data-files: SORT strategy — re-cluster every "
+        "leaf ordered by these columns so each file covers a disjoint "
+        "range (footer-stats file skipping for probes on them)",
+    )
+    ap.add_argument(
         "--delete-where",
         default=None,
         metavar="PREDICATE",
@@ -96,6 +104,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.compact_outputs and args.rewrite_data_files:
         ap.error("--compact-outputs (destructive) and --rewrite-data-files "
                  "(snapshot-preserving) are mutually exclusive")
+    rewrite_sort_cols = [c for c in (args.rewrite_sort_by or "").split(",") if c]
+    if rewrite_sort_cols and not args.rewrite_data_files:
+        ap.error("--rewrite-sort-by requires --rewrite-data-files")
     # merge args are usage-validated BEFORE Spark starts (the repo's CLI
     # convention) — a typo'd table name must not burn a whole batch and
     # then swallow its metrics JSON on exit
@@ -134,7 +145,10 @@ def main(argv: list[str] | None = None) -> int:
             from fastobo_py_spark.plans import snapshots as snap
 
             metrics["rewrite_data_files"] = snap.rewrite_data_files(
-                spark, args.out, max_parts=args.compact_max_parts
+                spark,
+                args.out,
+                max_parts=args.compact_max_parts,
+                sort_by=rewrite_sort_cols or None,
             )
         if args.delete_where:
             from fastobo_py_spark.plans import snapshots as snap

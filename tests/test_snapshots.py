@@ -349,6 +349,9 @@ def test_build_kg_cli_flag_validation():
         mod.main(["--synthetic", "5", "--out", "/tmp/x",
                   "--merge-into", "edges", "/tmp/src", "--merge-on", ","])
     assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        mod.main(["--synthetic", "5", "--out", "/tmp/x", "--rewrite-sort-by", "doc_sha"])
+    assert e.value.code == 2
 
 
 def test_heal_does_not_resurrect_rolled_back_data(spark, corpus):
@@ -658,6 +661,48 @@ def test_merge_into_op_semantics_and_edge_cases(spark):
 def meta_op(spark, out, sid):
     rows = {r["snapshot_id"]: r["op"] for r in S.snapshots_table(spark, out).collect()}
     return rows[sid]
+
+
+def test_rewrite_data_files_sort_strategy(spark):
+    """sort_by = Iceberg's SORT rewrite strategy: every leaf is
+    re-clustered so each output file covers a disjoint value range
+    (parquet footer min/max then prune point probes to one file — what
+    makes delete/merge by doc_sha scale by the delta). Rows, snapshot
+    history and the incremental append scan are all preserved."""
+    import pyarrow.parquet as pq
+
+    out = tempfile.mkdtemp(prefix="snap_sort_")
+    try:
+        pre = S.list_data_files(out)
+        _write_batch(spark, out, [("A", v) for v in (9, 1, 7, 3)])
+        s1, post1 = _commit_delta(out, pre)
+        _write_batch(spark, out, [("A", v) for v in (8, 2, 6, 4)])
+        s2, _ = _commit_delta(out, post1)
+
+        st = S.rewrite_data_files(
+            spark, out, tables=("nodes",), max_parts=1024, target_bytes=1000, sort_by=["x"]
+        )
+        # sort strategy rewrites even unfragmented leaves (max_parts huge)
+        assert st["leaves_rewritten"] == 1 and st["parts_after"] >= 2
+
+        head = S.read_table_at(spark, out, "nodes")
+        assert sorted(r["x"] for r in head.collect()) == [1, 2, 3, 4, 6, 7, 8, 9]
+        # each post-rewrite file covers a disjoint x range
+        ranges = []
+        for rel in S.resolve_files(out, "nodes"):
+            md = pq.ParquetFile(os.path.join(out, rel)).metadata
+            stats = [md.row_group(i).column(0).statistics for i in range(md.num_row_groups)]
+            if stats:
+                ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+        ranges.sort()
+        assert len(ranges) >= 2
+        for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, ranges
+        # replace snapshot: incremental append scan still skips it
+        inc = S.read_incremental(spark, out, "nodes", s1["snapshot_id"])
+        assert sorted(r["x"] for r in inc.collect()) == [2, 4, 6, 8]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def test_tags_pin_snapshots_through_expiration(spark):
