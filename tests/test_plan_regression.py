@@ -275,3 +275,23 @@ def test_corpus_shaping_plans(spark):
         assert p_pack.count("Exchange hashpartitioning") == 1, p_pack
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def test_merge_probe_in_filter_is_pushed(spark, tmp_path):
+    """merge_into's small-key probe claims footer-stat file skipping;
+    that only holds if the In filter actually reaches the parquet
+    reader. Pin PushedFilters for the probe's exact filter shape."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "probe")
+    spark.createDataFrame(
+        [(f"sha{i}", i) for i in range(100)], "doc_sha string, v int"
+    ).write.parquet(p)
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        probe = spark.read.parquet(p).where(F.col("doc_sha").isin(["sha3", "sha7"]))
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert "PushedFilters: [In(doc_sha" in plan, plan
