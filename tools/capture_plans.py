@@ -66,6 +66,21 @@ def main() -> None:
         "explosion; pushed filters + pruned ReadSchema on both scans)",
         q_events_asof_join(spark, "/root/testdata/sf0.001"),
     )
+    from fastobo_py_spark.operators.text import chunk, pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    show(
+        "Document chunking (sequence+explode+substring: a narrow no-shuffle "
+        "map over the scan — chunk output pipelines with the read at any "
+        "scale; ReadSchema pruned to doc_id/text)",
+        chunk(docs),
+    )
+    show(
+        "Sequence packing (per-shard running offsets: ONE hash exchange by "
+        "shard, then window sums stream each shard in order — no global "
+        "sort, no single-partition bottleneck)",
+        pack_sequences(docs),
+    )
     spark.stop()
     shutil.rmtree(d)
     with open("PLANS.md", "w") as fh:
