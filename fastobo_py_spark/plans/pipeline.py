@@ -378,12 +378,21 @@ def run_pipeline(
     n_salts: int = 16,
     canonicalize: bool = True,
     compact_threshold: int | None = MANIFEST_COMPACT_MAX_PARTS,
+    snapshot_branch: str | None = None,
 ) -> dict:
     """Run the full OBO→KG job; returns the metrics dict.
 
     Stages: filter+parse → quarantine split → triple extraction →
     treat-xrefs macros → alias/obsolete rewrite → equivalence CC →
     nodes+edges write (idspace-partitioned, salted) → manifest append.
+
+    ``snapshot_branch``: commit the batch's snapshot to a named branch
+    instead of main (write-audit-publish): snapshot readers of HEAD
+    never see the batch until :func:`snapshots.fast_forward` publishes
+    it. The ingest manifest still records the batch (resume scope is
+    the PHYSICAL work done); an audit that ends in ``delete_branch``
+    should expect corrected inputs to arrive as new content (new
+    doc_sha) — identical re-submissions are resume-skipped by design.
     """
     t0 = time.time()
     batch_id = uuid.uuid4().hex[:12]
@@ -460,6 +469,7 @@ def run_pipeline(
         added={t: sorted(post_files[t] - pre_files.get(t, set())) for t in _snap.TABLES},
         op="append",
         batch_id=batch_id,
+        branch=snapshot_branch,
     )
 
     # manifest append LAST: a crash before this line leaves the batch

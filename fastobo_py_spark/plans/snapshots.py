@@ -152,15 +152,29 @@ def commit_snapshot(
     batch_id: str | None = None,
     parent_id: str | None = None,
     summary: dict | None = None,
+    branch: str | None = None,
 ) -> dict:
     """Commit one snapshot: write the JSON (atomic rename), then advance
     HEAD (second atomic rename). ``parent_id`` defaults to current HEAD —
     passing an older id makes this a rollback-style divergent commit.
     ``summary`` carries op-specific counters (Iceberg's snapshot summary
-    map, e.g. deleted-row counts for a delete)."""
+    map, e.g. deleted-row counts for a delete).
+
+    ``branch``: commit to a named branch instead of main — the
+    write-audit-publish staging gesture (Iceberg's ``wap.branch``). The
+    parent defaults to the branch's head, or to current HEAD when the
+    branch doesn't exist yet (auto-created, cut from main); the branch
+    pointer advances and HEAD is untouched, so main readers never see
+    unaudited data. Publish with :func:`fast_forward`, abandon with
+    :func:`delete_branch`."""
     os.makedirs(_snap_root(out_dir), exist_ok=True)
     snaps = _load_by_id(out_dir)
-    parent = parent_id if parent_id is not None else current_snapshot_id(out_dir)
+    if parent_id is not None:
+        parent = parent_id
+    elif branch is not None:
+        parent = list_branches(out_dir).get(branch, current_snapshot_id(out_dir))
+    else:
+        parent = current_snapshot_id(out_dir)
     if parent is not None and parent not in snaps:
         raise ValueError(f"parent snapshot {parent} not found")
     seq = (max((s["sequence"] for s in snaps.values()), default=0)) + 1
@@ -180,7 +194,10 @@ def commit_snapshot(
         os.path.join(_snap_root(out_dir), f"snap-{seq:08d}-{sid}.json"),
         json.dumps(snap, indent=1),
     )
-    _atomic_write(_head_path(out_dir), sid)
+    if branch is None:
+        _atomic_write(_head_path(out_dir), sid)
+    else:
+        _set_branch(out_dir, branch, sid)
     return snap
 
 
@@ -256,16 +273,19 @@ def read_table_at(
     snapshot_id: str | None = None,
     as_of_ms: int | None = None,
     tag: str | None = None,
+    branch: str | None = None,
 ) -> DataFrame:
     """Snapshot-consistent read of ``table`` at a snapshot id / AS-OF
-    timestamp / named tag (default HEAD); scan shape per
+    timestamp / named tag / branch head (default HEAD); scan shape per
     :func:`_scan_files`."""
-    if sum(x is not None for x in (snapshot_id, as_of_ms, tag)) > 1:
-        raise ValueError("pass at most one of snapshot_id, as_of_ms, tag")
+    if sum(x is not None for x in (snapshot_id, as_of_ms, tag, branch)) > 1:
+        raise ValueError("pass at most one of snapshot_id, as_of_ms, tag, branch")
     if as_of_ms is not None:
         snapshot_id = snapshot_as_of(out_dir, as_of_ms)
     if tag is not None:
         snapshot_id = resolve_tag(out_dir, tag)
+    if branch is not None:
+        snapshot_id = resolve_branch(out_dir, branch)
     return _scan_files(spark, out_dir, table, resolve_files(out_dir, table, snapshot_id))
 
 
@@ -368,7 +388,7 @@ def expire_snapshots(out_dir: str, keep_last: int = 1, tables: tuple = TABLES) -
     snaps = _load_by_id(out_dir)
     head = current_snapshot_id(out_dir)
     if head is None:
-        return {"expired": 0, "deleted_files": 0, "pinned_tags": {}}
+        return {"expired": 0, "deleted_files": 0, "pinned_tags": {}, "pinned_branches": {}}
     chain = []
     cur: str | None = head
     while cur is not None and cur in snaps:
@@ -392,19 +412,24 @@ def expire_snapshots(out_dir: str, keep_last: int = 1, tables: tuple = TABLES) -
         for t in hist_tables:
             keep_files[t] |= set(s["added"].get(t, ()))
 
-    # tagged snapshots are retention pins (Iceberg ref semantics): each
-    # tag outside the kept chain survives expiration as a REBASED root —
-    # resolve all of them against the still-intact history first
+    # tagged snapshots AND branch heads are retention pins (Iceberg ref
+    # semantics): each ref outside the kept chain survives expiration as
+    # a REBASED root — resolve all of them against the still-intact
+    # history first. (Only a branch's HEAD is retained; its interior
+    # audit snapshots expire like any other history.)
     tags = list_tags(out_dir)
+    branches = list_branches(out_dir)
     tagged_extra = []
     pinned_tags: dict[str, str] = {}
-    for sid in sorted(set(tags.values()) - kept_ids):
+    pinned_branches: dict[str, str] = {}
+    for sid in sorted((set(tags.values()) | set(branches.values())) - kept_ids):
         if sid not in snaps:
-            continue  # dangling tag; nothing to retain
+            continue  # dangling ref; nothing to retain
         tfiles = {t: set(_resolve_from(snaps, sid, t)) for t in hist_tables}
         tagged_extra.append((snaps[sid], tfiles))
         kept_ids.add(sid)
         pinned_tags.update({n: s for n, s in tags.items() if s == sid})
+        pinned_branches.update({n: s for n, s in branches.items() if s == sid})
         for t in hist_tables:
             keep_files[t] |= tfiles[t]
 
@@ -445,7 +470,12 @@ def expire_snapshots(out_dir: str, keep_last: int = 1, tables: tuple = TABLES) -
     # these tags kept their snapshots' files on disk and readable — an
     # INCOMPLETE takedown until the tags are deleted/moved and expire
     # reruns (code-review r5)
-    return {"expired": expired, "deleted_files": deleted, "pinned_tags": pinned_tags}
+    return {
+        "expired": expired,
+        "deleted_files": deleted,
+        "pinned_tags": pinned_tags,
+        "pinned_branches": pinned_branches,
+    }
 
 
 def remove_orphan_files(out_dir: str, tables: tuple = TABLES) -> int:
@@ -594,6 +624,65 @@ def resolve_tag(out_dir: str, name: str) -> str:
     if name not in tags:
         raise ValueError(f"tag {name!r} not found")
     return tags[name]
+
+
+def _branches_path(out_dir: str) -> str:
+    return os.path.join(_snap_root(out_dir), "BRANCHES")
+
+
+def list_branches(out_dir: str) -> dict[str, str]:
+    """All branches as {name: head snapshot_id}."""
+    try:
+        with open(_branches_path(out_dir)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {}
+
+
+def resolve_branch(out_dir: str, name: str) -> str:
+    branches = list_branches(out_dir)
+    if name not in branches:
+        raise ValueError(f"branch {name!r} not found")
+    return branches[name]
+
+
+def delete_branch(out_dir: str, name: str) -> None:
+    """Drop the ref (an audit that failed). The branch's snapshots become
+    unreachable and :func:`expire_snapshots` + :func:`remove_orphan_files`
+    reclaim them — the WAP abandon path."""
+    branches = list_branches(out_dir)
+    if name not in branches:
+        raise ValueError(f"branch {name!r} not found")
+    del branches[name]
+    _atomic_write(_branches_path(out_dir), json.dumps(branches, indent=1, sort_keys=True))
+
+
+def _set_branch(out_dir: str, name: str, sid: str) -> None:
+    branches = list_branches(out_dir)
+    branches[name] = sid
+    _atomic_write(_branches_path(out_dir), json.dumps(branches, indent=1, sort_keys=True))
+
+
+def fast_forward(out_dir: str, branch: str) -> str:
+    """PUBLISH a write-audit-publish branch: move HEAD to the branch
+    head, allowed only when HEAD is an ancestor of it (a true
+    fast-forward — Iceberg's ``fast_forward`` procedure). The branch's
+    audited snapshots become the main history in one atomic pointer
+    move; nothing is copied. Raises if main advanced divergently since
+    the branch was cut (the audit must rebase by re-ingesting)."""
+    target = resolve_branch(out_dir, branch)
+    head = current_snapshot_id(out_dir)
+    snaps = _load_by_id(out_dir)
+    cur: str | None = target
+    while cur is not None and cur != head:
+        cur = snaps[cur]["parent_id"] if cur in snaps else None
+    if head is not None and cur != head:
+        raise ValueError(
+            f"cannot fast-forward: HEAD {head} is not an ancestor of "
+            f"branch {branch!r} head {target} (divergent history)"
+        )
+    _atomic_write(_head_path(out_dir), target)
+    return target
 
 
 def ensure_baseline(out_dir: str) -> dict[str, set]:

@@ -466,6 +466,74 @@ def sql_obo_snapshot_merge() -> str:
     return _values_sql(sorted(out), ["metric", "value"])
 
 
+def q_obo_snapshot_wap(spark: SparkSession, sf: str) -> DataFrame:
+    """Write-audit-publish on the snapshotted KG (Iceberg branch refs):
+    batch 1 lands on main; batch 2 (the corpus remainder, via resume)
+    commits to the 'audit' branch — HEAD readers must still see ONLY
+    batch 1 while the branch sees everything (the audit read); then
+    ``fast_forward`` publishes and HEAD sees the full corpus. The oracle
+    recomputes both states from the same deterministic md5(path) split
+    used by obo_snapshot_incremental."""
+    import shutil
+    import tempfile
+
+    from fastobo_py_spark.plans import snapshots as S
+    from fastobo_py_spark.plans.pipeline import run_pipeline
+
+    corpus = _corpus_df(spark)
+    out = tempfile.mkdtemp(prefix="kg_wap_q_")
+    try:
+        first = corpus.where(F.substring(F.md5(F.col("path")), 1, 1) < "8")
+        run_pipeline(spark, first, out, canonicalize=False)
+        run_pipeline(spark, corpus, out, canonicalize=False, snapshot_branch="audit")
+
+        def counts(tag, **kw):
+            e = S.read_table_at(spark, out, "edges", **kw)
+            n = S.read_table_at(spark, out, "nodes", **kw)
+            return [
+                (f"docs{tag}", e.select("doc_sha").distinct().count()),
+                (f"edges{tag}", e.select("subj", "pred", "obj", "doc_sha").distinct().count()),
+                (f"nodes{tag}", n.count()),
+            ]
+
+        rows = counts("_main")
+        rows += counts("_audit", branch="audit")
+        S.fast_forward(out, "audit")
+        rows += counts("_published")
+        return spark.createDataFrame(sorted(rows), "metric string, value bigint").orderBy("metric")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def sql_obo_snapshot_wap() -> str:
+    import hashlib as _hl
+
+    from fastobo_py_spark import oracle
+    from fastobo_py_spark.sources.corpus import generate_corpus
+
+    rows = generate_corpus(**_CORPUS_KW)
+    first = [r for r in rows if _hl.md5(r["path"].encode()).hexdigest()[0] < "8"]
+    ix = oracle._IX
+
+    def stats(rs):
+        clauses, _ = oracle.parse_rows(rs)
+        n_nodes = len(
+            {(c[0], c[3 + ix["frame_id"]]) for c in clauses if c[3] != "Header" and c[3 + ix["frame_id"]]}
+        )
+        edges = oracle.build_edges(rs, canonicalize=False, apply_macros=True)
+        dist = {(s, p, o, sha) for s, p, o, _, sha in edges}
+        return len({e[3] for e in dist}), len(dist), n_nodes
+
+    md, me, mn = stats(first)
+    fd, fe, fn = stats(rows)
+    out = [
+        ("docs_main", md), ("edges_main", me), ("nodes_main", mn),
+        ("docs_audit", fd), ("edges_audit", fe), ("nodes_audit", fn),
+        ("docs_published", fd), ("edges_published", fe), ("nodes_published", fn),
+    ]
+    return _values_sql(sorted(out), ["metric", "value"])
+
+
 def q_obo_ancestors(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive is_a ancestor closure over the canonical KG — the
     classic downstream ontology query (reference users walk the AST in
@@ -600,6 +668,7 @@ QUERIES.update(
         "obo_snapshot_incremental": q_obo_snapshot_incremental,
         "obo_snapshot_delete": q_obo_snapshot_delete,
         "obo_snapshot_merge": q_obo_snapshot_merge,
+        "obo_snapshot_wap": q_obo_snapshot_wap,
     }
 )
 _GENERATED_ORACLES.update(
@@ -610,6 +679,7 @@ _GENERATED_ORACLES.update(
         "obo_snapshot_incremental": sql_obo_snapshot_incremental,
         "obo_snapshot_delete": sql_obo_snapshot_delete,
         "obo_snapshot_merge": sql_obo_snapshot_merge,
+        "obo_snapshot_wap": sql_obo_snapshot_wap,
     }
 )
 

@@ -95,6 +95,25 @@ def main(argv: list[str] | None = None) -> int:
         "current snapshot (Iceberg tag ref: a durable consumer-facing "
         "name that also survives --expire-snapshots)",
     )
+    ap.add_argument(
+        "--branch",
+        default=None,
+        metavar="NAME",
+        help="commit the batch's snapshot to this branch instead of main "
+        "(write-audit-publish: HEAD readers never see the batch until "
+        "--publish-branch fast-forwards)",
+    )
+    ap.add_argument(
+        "--publish-branch",
+        default=None,
+        metavar="NAME",
+        help="after the batch and maintenance, fast-forward HEAD to this "
+        "branch's head (the WAP publish; fails if main diverged). When "
+        "publishing from a SEPARATE invocation, pass --branch NAME too: "
+        "every run commits a snapshot (even an all-resumed empty one), "
+        "and an empty commit landing on MAIN would diverge it from the "
+        "branch",
+    )
     ap.add_argument("--remove-orphans", action="store_true",
                     help="after the batch, delete data files referenced by no snapshot")
     ap.add_argument("--master", default=None, help="override master (defaults to local[$SPARK_GRAFT_CPUS])")
@@ -136,6 +155,7 @@ def main(argv: list[str] | None = None) -> int:
             resume=not args.no_resume,
             n_salts=args.salts,
             canonicalize=not args.no_canonicalize,
+            snapshot_branch=args.branch,
         )
         if args.compact_outputs:
             metrics["output_compaction"] = compact_outputs(
@@ -171,6 +191,10 @@ def main(argv: list[str] | None = None) -> int:
             from fastobo_py_spark.plans import snapshots as snap
 
             metrics["removed_orphan_files"] = snap.remove_orphan_files(args.out)
+        if args.publish_branch is not None:
+            from fastobo_py_spark.plans import snapshots as snap
+
+            metrics["published_snapshot"] = snap.fast_forward(args.out, args.publish_branch)
         if args.tag is not None:
             from fastobo_py_spark.plans import snapshots as snap
 

@@ -323,6 +323,38 @@ def test_build_kg_cli_merge_into(spark):
         shutil.rmtree(src_dir, ignore_errors=True)
 
 
+def test_build_kg_cli_wap_publish(spark):
+    """CLI write-audit-publish: one invocation stages the batch on a
+    branch and fast-forwards main after maintenance; a second all-resumed
+    invocation (empty delta, committed to the BRANCH per the documented
+    composition) publishes cleanly instead of diverging main."""
+    import json as _json
+    import os as _os
+    import subprocess
+    import sys
+
+    out = tempfile.mkdtemp(prefix="kg_cli_wap_")
+    cli = [_os.path.join(_os.path.dirname(__file__), "..", "jobs", "build_kg.py")]
+    try:
+        base = [sys.executable, *cli, "--synthetic", "8", "--out", out,
+                "--no-canonicalize", "--master", "local[4]",
+                "--branch", "audit", "--publish-branch", "audit"]
+        proc = subprocess.run(base, capture_output=True, text=True, timeout=300)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        metrics = _json.loads(proc.stdout.strip().splitlines()[-1])
+        assert metrics["published_snapshot"] == S.current_snapshot_id(out)
+        assert metrics["snapshot_id"] == metrics["published_snapshot"]
+        assert S.read_table_at(spark, out, "edges").count() > 0
+
+        proc2 = subprocess.run(base, capture_output=True, text=True, timeout=300)
+        assert proc2.returncode == 0, proc2.stderr[-2000:]
+        m2 = _json.loads(proc2.stdout.strip().splitlines()[-1])
+        assert m2["docs_in_batch"] == 0  # all resumed
+        assert m2["published_snapshot"] == S.current_snapshot_id(out)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_build_kg_cli_flag_validation():
     """CLI guard rails: --synthetic 0 and the destructive/non-destructive
     compaction pair are usage errors (exit 2), before any Spark startup."""
@@ -661,6 +693,55 @@ def test_merge_into_op_semantics_and_edge_cases(spark):
 def meta_op(spark, out, sid):
     rows = {r["snapshot_id"]: r["op"] for r in S.snapshots_table(spark, out).collect()}
     return rows[sid]
+
+
+def test_wap_branch_write_audit_publish(spark):
+    """Branch refs (Iceberg WAP): commits to a branch stay invisible to
+    HEAD readers, fast_forward publishes atomically (and refuses a
+    divergent main), delete_branch + expire reclaims an abandoned audit,
+    and a live branch head survives expiration as a pin."""
+    out = tempfile.mkdtemp(prefix="snap_wap_")
+    try:
+        pre = S.list_data_files(out)
+        _write_batch(spark, out, [("A", 1)])
+        s1, post1 = _commit_delta(out, pre)
+
+        # write to the audit branch (auto-created, cut from main)
+        _write_batch(spark, out, [("B", 2)])
+        b1, post2 = _commit_delta(out, post1, branch="audit")
+        _write_batch(spark, out, [("C", 3)])
+        b2, post3 = _commit_delta(out, post2, branch="audit")
+        assert S.current_snapshot_id(out) == s1["snapshot_id"]  # HEAD untouched
+        assert S.read_table_at(spark, out, "nodes").count() == 1
+        assert S.read_table_at(spark, out, "nodes", branch="audit").count() == 3
+        assert b2["parent_id"] == b1["snapshot_id"] and b1["parent_id"] == s1["snapshot_id"]
+
+        # publish: one pointer move, full audited history becomes main;
+        # then drop the merged ref (it would otherwise pin its snapshot
+        # through expiration, like a stale git branch)
+        assert S.fast_forward(out, "audit") == b2["snapshot_id"]
+        assert S.read_table_at(spark, out, "nodes").count() == 3
+        S.delete_branch(out, "audit")
+
+        # divergence guard: cut a fix branch, then advance main past it
+        _write_batch(spark, out, [("E", 5)])
+        f1, post4 = _commit_delta(out, post3, branch="fix")
+        _write_batch(spark, out, [("D", 4)])
+        s2, _ = _commit_delta(out, post4)
+        with pytest.raises(ValueError, match="divergent"):
+            S.fast_forward(out, "fix")
+
+        # live branch head survives expiration as a pin...
+        res = S.expire_snapshots(out, keep_last=1)
+        assert res["pinned_branches"] == {"fix": f1["snapshot_id"]}
+        assert S.read_table_at(spark, out, "nodes", branch="fix").count() == 4  # A,B,C + E
+        # ...and abandoning it lets the next expire reclaim its files
+        S.delete_branch(out, "fix")
+        res2 = S.expire_snapshots(out, keep_last=1)
+        assert res2["pinned_branches"] == {} and res2["deleted_files"] >= 1
+        assert sorted(r["x"] for r in S.read_table_at(spark, out, "nodes").collect()) == [1, 2, 3, 4]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def test_rewrite_data_files_sort_strategy(spark):
