@@ -1103,6 +1103,23 @@ def snapshots_table(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema).orderBy(F.col("sequence").desc())
 
 
+def refs_table(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Iceberg's ``table$refs`` metadata table: one row per named ref —
+    every tag and branch plus the implicit ``main`` HEAD — with the
+    snapshot it points at and whether that snapshot is still retained
+    (a dangling ref survives expiration as a name but resolves nothing)."""
+    snaps = _load_by_id(out_dir)
+    rows = []
+    head = current_snapshot_id(out_dir)
+    if head is not None:
+        rows.append(("main", "branch", head, head in snaps))
+    rows += [(n, "branch", s, s in snaps) for n, s in sorted(list_branches(out_dir).items())]
+    rows += [(n, "tag", s, s in snaps) for n, s in sorted(list_tags(out_dir).items())]
+    return spark.createDataFrame(
+        rows, "name string, type string, snapshot_id string, is_retained boolean"
+    ).orderBy("type", "name")
+
+
 def files_table(
     spark: SparkSession, out_dir: str, snapshot_id: str | None = None, tables: tuple = TABLES
 ) -> DataFrame:

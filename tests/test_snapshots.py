@@ -854,7 +854,7 @@ def test_metadata_tables(spark):
         _write_batch(spark, out, [("A", 1)])
         s1, post1 = _commit_delta(out, pre)
         _write_batch(spark, out, [("B", 2)])
-        s2, _ = _commit_delta(out, post1)
+        s2, post2 = _commit_delta(out, post1)
 
         meta = S.snapshots_table(spark, out).collect()
         assert [r["snapshot_id"] for r in meta] == [s2["snapshot_id"], s1["snapshot_id"]]
@@ -866,5 +866,15 @@ def test_metadata_tables(spark):
         assert len(files_s1) < len(files_head)
         assert all(r["bytes"] > 0 and r["table"] == "nodes" for r in files_head)
         assert all(r["leaf"].startswith("nodes/idspace=") for r in files_head)
+
+        # refs_table (table$refs): main + tags + branches, with retention
+        S.create_tag(out, "prod", s1["snapshot_id"])
+        _write_batch(spark, out, [("C", 3)])
+        _commit_delta(out, post2, branch="wip")
+        refs = {r["name"]: r for r in S.refs_table(spark, out).collect()}
+        assert refs["main"]["snapshot_id"] == s2["snapshot_id"]
+        assert refs["prod"]["type"] == "tag" and refs["prod"]["snapshot_id"] == s1["snapshot_id"]
+        assert refs["wip"]["type"] == "branch" and refs["wip"]["is_retained"]
+        assert all(r["is_retained"] for r in refs.values())
     finally:
         shutil.rmtree(out, ignore_errors=True)
