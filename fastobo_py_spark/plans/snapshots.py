@@ -167,6 +167,10 @@ def commit_snapshot(
     pointer advances and HEAD is untouched, so main readers never see
     unaudited data. Publish with :func:`fast_forward`, abandon with
     :func:`delete_branch`."""
+    if branch is not None and (not branch or not isinstance(branch, str)):
+        # validate BEFORE the snapshot JSON is written — failing in the
+        # pointer update would leave an orphan snapshot behind
+        raise ValueError("branch name must be a non-empty string")
     os.makedirs(_snap_root(out_dir), exist_ok=True)
     snaps = _load_by_id(out_dir)
     if parent_id is not None:
@@ -223,10 +227,13 @@ def _resolve_from(snaps: dict[str, dict], sid: str, table: str) -> list[str]:
 def resolve_files(out_dir: str, table: str, snapshot_id: str | None = None) -> list[str]:
     """File set of ``table`` at a snapshot (default HEAD): walk the
     parent chain root→snapshot applying added/removed deltas. Raises for
-    an unknown or expired snapshot (Iceberg: ``Cannot find snapshot``)."""
+    an unknown or expired snapshot (Iceberg: ``Cannot find snapshot``).
+    No main commit yet (e.g. only WAP-branch commits exist) resolves to
+    the empty table, not an error — main readers of a staged-only dir
+    must simply see nothing."""
     sid = snapshot_id or current_snapshot_id(out_dir)
     if sid is None:
-        raise ValueError(f"no snapshots committed under {out_dir}")
+        return []
     return _resolve_from(_load_by_id(out_dir), sid, table)
 
 
@@ -378,23 +385,27 @@ def rollback(out_dir: str, snapshot_id: str) -> None:
 
 def expire_snapshots(out_dir: str, keep_last: int = 1, tables: tuple = TABLES) -> dict:
     """Drop history: keep the newest ``keep_last`` snapshots of the HEAD
-    chain plus every TAGGED snapshot (tags are retention pins, Iceberg
-    ref semantics), delete every other snapshot JSON, and delete data
-    files no retained snapshot references. The kept chain's oldest
-    snapshot — and each retained tagged snapshot — is REBASED to a root
-    (its delta rewritten to the full resolved file set) so resolution
-    never needs the expired parents — Iceberg's ``expireSnapshots`` +
-    ``removeOrphanFiles`` in one pass."""
+    chain plus every TAGGED snapshot and BRANCH HEAD (refs are retention
+    pins, Iceberg ref semantics), delete every other snapshot JSON, and
+    delete data files no retained snapshot references. The kept chain's
+    oldest snapshot and each retained tag is REBASED to a root (its
+    delta rewritten to the full resolved file set); a retained BRANCH
+    head is instead rebased onto its nearest KEPT ancestor when one
+    exists — severing a staged branch from main (a parentless root)
+    would make ``fast_forward`` read it as divergent and the audited
+    batch permanently unpublishable. Works with no main commit at all
+    (a branch-only WAP dir): nothing is kept for main and abandoned
+    branches' history is reclaimed."""
     snaps = _load_by_id(out_dir)
-    head = current_snapshot_id(out_dir)
-    if head is None:
+    if not snaps:
         return {"expired": 0, "deleted_files": 0, "pinned_tags": {}, "pinned_branches": {}}
+    head = current_snapshot_id(out_dir)
     chain = []
     cur: str | None = head
     while cur is not None and cur in snaps:
         chain.append(snaps[cur])
         cur = snaps[cur]["parent_id"]
-    kept = chain[: max(1, keep_last)]
+    kept = chain[: max(1, keep_last)] if chain else []
     kept_ids = {s["snapshot_id"] for s in kept}
 
     # the rebase must cover EVERY table appearing anywhere in history,
@@ -405,39 +416,67 @@ def expire_snapshots(out_dir: str, keep_last: int = 1, tables: tuple = TABLES) -
     )
 
     # resolve the keep-boundary snapshot BEFORE deleting its ancestry
-    base = kept[-1]
-    base_files = {t: set(_resolve_from(snaps, base["snapshot_id"], t)) for t in hist_tables}
+    base = kept[-1] if kept else None
+    base_files = (
+        {t: set(_resolve_from(snaps, base["snapshot_id"], t)) for t in hist_tables}
+        if base
+        else {t: set() for t in hist_tables}
+    )
     keep_files: dict[str, set] = {t: set(base_files[t]) for t in hist_tables}
     for s in kept[:-1]:
         for t in hist_tables:
             keep_files[t] |= set(s["added"].get(t, ()))
 
     # tagged snapshots AND branch heads are retention pins (Iceberg ref
-    # semantics): each ref outside the kept chain survives expiration as
-    # a REBASED root — resolve all of them against the still-intact
-    # history first. (Only a branch's HEAD is retained; its interior
-    # audit snapshots expire like any other history.)
+    # semantics); resolve all of them against the still-intact history
+    # first. (Only a branch's HEAD is retained; its interior audit
+    # snapshots expire like any other history.)
     tags = list_tags(out_dir)
     branches = list_branches(out_dir)
+    branch_heads = set(branches.values())
     tagged_extra = []
     pinned_tags: dict[str, str] = {}
     pinned_branches: dict[str, str] = {}
-    for sid in sorted((set(tags.values()) | set(branches.values())) - kept_ids):
+    for sid in sorted((set(tags.values()) | branch_heads) - kept_ids):
         if sid not in snaps:
             continue  # dangling ref; nothing to retain
         tfiles = {t: set(_resolve_from(snaps, sid, t)) for t in hist_tables}
-        tagged_extra.append((snaps[sid], tfiles))
+        # a branch head keeps its link to main: nearest ancestor on the
+        # kept chain (computed NOW, while the full ancestry is intact)
+        anc = None
+        if sid in branch_heads:
+            cur = snaps[sid]["parent_id"]
+            while cur is not None and cur in snaps:
+                if cur in kept_ids:
+                    anc = cur
+                    break
+                cur = snaps[cur]["parent_id"]
+        tagged_extra.append((snaps[sid], tfiles, anc))
         kept_ids.add(sid)
         pinned_tags.update({n: s for n, s in tags.items() if s == sid})
         pinned_branches.update({n: s for n, s in branches.items() if s == sid})
         for t in hist_tables:
             keep_files[t] |= tfiles[t]
 
-    def _rebase_to_root(snap: dict, files: dict[str, set]) -> None:
+    def _rebase(snap: dict, files: dict[str, set], anc: str | None) -> None:
+        """Rewrite ``snap`` to resolve without its expired ancestry:
+        as a parentless root holding the full file set, or — for a
+        branch head with a surviving main ancestor — as a DELTA against
+        that ancestor, preserving the fast-forward ancestry walk."""
         snap = dict(snap)
-        snap["parent_id"] = None
-        snap["added"] = {t: sorted(files[t]) for t in hist_tables if files[t]}
-        snap["removed"] = {}
+        if anc is None:
+            snap["parent_id"] = None
+            snap["added"] = {t: sorted(files[t]) for t in hist_tables if files[t]}
+            snap["removed"] = {}
+        else:
+            anc_files = {t: set(_resolve_from(snaps, anc, t)) for t in hist_tables}
+            snap["parent_id"] = anc
+            snap["added"] = {
+                t: sorted(files[t] - anc_files[t]) for t in hist_tables if files[t] - anc_files[t]
+            }
+            snap["removed"] = {
+                t: sorted(anc_files[t] - files[t]) for t in hist_tables if anc_files[t] - files[t]
+            }
         _atomic_write(
             os.path.join(
                 _snap_root(out_dir), f"snap-{snap['sequence']:08d}-{snap['snapshot_id']}.json"
@@ -445,12 +484,12 @@ def expire_snapshots(out_dir: str, keep_last: int = 1, tables: tuple = TABLES) -
             json.dumps(snap, indent=1),
         )
 
-    # rewrite the boundary snapshot (and every retained tagged snapshot)
-    # as a root: full file set, no parent — resolution never needs the
-    # expired ancestry
-    _rebase_to_root(base, base_files)
-    for snap, tfiles in tagged_extra:
-        _rebase_to_root(snap, tfiles)
+    # rewrite the boundary snapshot (and every retained ref snapshot) so
+    # resolution never needs the expired ancestry
+    if base is not None:
+        _rebase(base, base_files, None)
+    for snap, tfiles, anc in tagged_extra:
+        _rebase(snap, tfiles, anc)
 
     expired = 0
     for p in _snap_paths(out_dir):
@@ -577,13 +616,38 @@ def _tags_path(out_dir: str) -> str:
     return os.path.join(_snap_root(out_dir), "TAGS")
 
 
-def list_tags(out_dir: str) -> dict[str, str]:
-    """All tags as {name: snapshot_id}."""
+def _load_refs(path: str) -> dict[str, str]:
+    """Named-ref store (TAGS / BRANCHES share the shape): {name: sid}."""
     try:
-        with open(_tags_path(out_dir)) as fh:
+        with open(path) as fh:
             return json.load(fh)
     except FileNotFoundError:
         return {}
+
+
+def _save_refs(path: str, refs: dict[str, str]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    _atomic_write(path, json.dumps(refs, indent=1, sort_keys=True))
+
+
+def _drop_ref(path: str, name: str, kind: str) -> None:
+    refs = _load_refs(path)
+    if name not in refs:
+        raise ValueError(f"{kind} {name!r} not found")
+    del refs[name]
+    _save_refs(path, refs)
+
+
+def _resolve_ref(path: str, name: str, kind: str) -> str:
+    refs = _load_refs(path)
+    if name not in refs:
+        raise ValueError(f"{kind} {name!r} not found")
+    return refs[name]
+
+
+def list_tags(out_dir: str) -> dict[str, str]:
+    """All tags as {name: snapshot_id}."""
+    return _load_refs(_tags_path(out_dir))
 
 
 def create_tag(out_dir: str, name: str, snapshot_id: str | None = None) -> str:
@@ -607,23 +671,16 @@ def create_tag(out_dir: str, name: str, snapshot_id: str | None = None) -> str:
         raise ValueError(f"snapshot {sid} not found (expired or never committed)")
     tags = list_tags(out_dir)
     tags[name] = sid
-    _atomic_write(_tags_path(out_dir), json.dumps(tags, indent=1, sort_keys=True))
+    _save_refs(_tags_path(out_dir), tags)
     return sid
 
 
 def delete_tag(out_dir: str, name: str) -> None:
-    tags = list_tags(out_dir)
-    if name not in tags:
-        raise ValueError(f"tag {name!r} not found")
-    del tags[name]
-    _atomic_write(_tags_path(out_dir), json.dumps(tags, indent=1, sort_keys=True))
+    _drop_ref(_tags_path(out_dir), name, "tag")
 
 
 def resolve_tag(out_dir: str, name: str) -> str:
-    tags = list_tags(out_dir)
-    if name not in tags:
-        raise ValueError(f"tag {name!r} not found")
-    return tags[name]
+    return _resolve_ref(_tags_path(out_dir), name, "tag")
 
 
 def _branches_path(out_dir: str) -> str:
@@ -632,35 +689,26 @@ def _branches_path(out_dir: str) -> str:
 
 def list_branches(out_dir: str) -> dict[str, str]:
     """All branches as {name: head snapshot_id}."""
-    try:
-        with open(_branches_path(out_dir)) as fh:
-            return json.load(fh)
-    except FileNotFoundError:
-        return {}
+    return _load_refs(_branches_path(out_dir))
 
 
 def resolve_branch(out_dir: str, name: str) -> str:
-    branches = list_branches(out_dir)
-    if name not in branches:
-        raise ValueError(f"branch {name!r} not found")
-    return branches[name]
+    return _resolve_ref(_branches_path(out_dir), name, "branch")
 
 
 def delete_branch(out_dir: str, name: str) -> None:
     """Drop the ref (an audit that failed). The branch's snapshots become
     unreachable and :func:`expire_snapshots` + :func:`remove_orphan_files`
     reclaim them — the WAP abandon path."""
-    branches = list_branches(out_dir)
-    if name not in branches:
-        raise ValueError(f"branch {name!r} not found")
-    del branches[name]
-    _atomic_write(_branches_path(out_dir), json.dumps(branches, indent=1, sort_keys=True))
+    _drop_ref(_branches_path(out_dir), name, "branch")
 
 
 def _set_branch(out_dir: str, name: str, sid: str) -> None:
+    if not name or not isinstance(name, str):
+        raise ValueError("branch name must be a non-empty string")
     branches = list_branches(out_dir)
     branches[name] = sid
-    _atomic_write(_branches_path(out_dir), json.dumps(branches, indent=1, sort_keys=True))
+    _save_refs(_branches_path(out_dir), branches)
 
 
 def fast_forward(out_dir: str, branch: str) -> str:
@@ -695,7 +743,12 @@ def ensure_baseline(out_dir: str) -> dict[str, set]:
     outside every chain. Returns the current physical listing (reusable
     as the caller's pre-write baseline)."""
     _heal, on_disk = heal_snapshot(out_dir)
-    if current_snapshot_id(out_dir) is None and any(on_disk.values()):
+    # "predates the snapshot log" means NO snapshots exist at all — not
+    # merely "main has no commit yet": a branch-only dir (first batch
+    # staged via WAP) has HEAD unset but a live log, and importing its
+    # files into main would leak the unaudited batch to HEAD readers and
+    # make the branch unpublishable (divergent)
+    if current_snapshot_id(out_dir) is None and not _snap_paths(out_dir) and any(on_disk.values()):
         commit_snapshot(out_dir, added={t: sorted(f) for t, f in on_disk.items()}, op="import")
     return on_disk
 

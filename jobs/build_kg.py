@@ -101,13 +101,16 @@ def main(argv: list[str] | None = None) -> int:
         metavar="NAME",
         help="commit the batch's snapshot to this branch instead of main "
         "(write-audit-publish: HEAD readers never see the batch until "
-        "--publish-branch fast-forwards)",
+        "--publish-branch fast-forwards). Cut a FRESH branch name per "
+        "run — a ref left behind by an earlier published run is stale "
+        "once main advances and cannot fast-forward again",
     )
     ap.add_argument(
         "--publish-branch",
         default=None,
         metavar="NAME",
-        help="after the batch and maintenance, fast-forward HEAD to this "
+        help="right after the batch (BEFORE maintenance ops, which then "
+        "apply to the published main), fast-forward HEAD to this "
         "branch's head (the WAP publish; fails if main diverged). When "
         "publishing from a SEPARATE invocation, pass --branch NAME too: "
         "every run commits a snapshot (even an all-resumed empty one), "
@@ -126,6 +129,16 @@ def main(argv: list[str] | None = None) -> int:
     rewrite_sort_cols = [c for c in (args.rewrite_sort_by or "").split(",") if c]
     if rewrite_sort_cols and not args.rewrite_data_files:
         ap.error("--rewrite-sort-by requires --rewrite-data-files")
+    # the CLI rewrite covers BOTH tables, so sort columns must exist in
+    # both schemas; table-specific columns (subj, id, ...) need the API's
+    # rewrite_data_files(tables=...) — validated pre-Spark, like the rest
+    bad_sort = [c for c in rewrite_sort_cols if c not in ("doc_sha", "idspace")]
+    if bad_sort:
+        ap.error(
+            f"--rewrite-sort-by column(s) {bad_sort} not shared by nodes AND edges "
+            "(use doc_sha and/or idspace; table-specific columns need the "
+            "rewrite_data_files(tables=...) API)"
+        )
     # merge args are usage-validated BEFORE Spark starts (the repo's CLI
     # convention) — a typo'd table name must not burn a whole batch and
     # then swallow its metrics JSON on exit
@@ -157,6 +170,13 @@ def main(argv: list[str] | None = None) -> int:
             canonicalize=not args.no_canonicalize,
             snapshot_branch=args.branch,
         )
+        # publish FIRST: the maintenance ops below commit to (or expire)
+        # MAIN — running them before the fast-forward would advance main
+        # past the staged branch and make the publish fail as divergent
+        if args.publish_branch is not None:
+            from fastobo_py_spark.plans import snapshots as snap
+
+            metrics["published_snapshot"] = snap.fast_forward(args.out, args.publish_branch)
         if args.compact_outputs:
             metrics["output_compaction"] = compact_outputs(
                 spark, args.out, max_parts=args.compact_max_parts
@@ -191,10 +211,6 @@ def main(argv: list[str] | None = None) -> int:
             from fastobo_py_spark.plans import snapshots as snap
 
             metrics["removed_orphan_files"] = snap.remove_orphan_files(args.out)
-        if args.publish_branch is not None:
-            from fastobo_py_spark.plans import snapshots as snap
-
-            metrics["published_snapshot"] = snap.fast_forward(args.out, args.publish_branch)
         if args.tag is not None:
             from fastobo_py_spark.plans import snapshots as snap
 

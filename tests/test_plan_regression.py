@@ -283,6 +283,10 @@ def test_merge_probe_in_filter_is_pushed(spark, tmp_path):
     reader. Pin PushedFilters for the probe's exact filter shape."""
     from pyspark.sql import functions as F
 
+    import os
+
+    from fastobo_py_spark.plans import snapshots as S
+
     p = str(tmp_path / "probe")
     spark.createDataFrame(
         [(f"sha{i}", i) for i in range(100)], "doc_sha string, v int"
@@ -290,7 +294,13 @@ def test_merge_probe_in_filter_is_pushed(spark, tmp_path):
     old = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        probe = spark.read.parquet(p).where(F.col("doc_sha").isin(["sha3", "sha7"]))
+        # the EXACT production scan shape (_scan_files: explicit file
+        # list + basePath + mergeSchema) — a plain directory read could
+        # keep pushing down while the real probe regressed
+        rels = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+        probe = S._scan_files(spark, p, "", rels).where(
+            F.col("doc_sha").isin(["sha3", "sha7"])
+        )
         plan = probe._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)

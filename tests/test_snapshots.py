@@ -339,14 +339,23 @@ def test_build_kg_cli_wap_publish(spark):
         base = [sys.executable, *cli, "--synthetic", "8", "--out", out,
                 "--no-canonicalize", "--master", "local[4]",
                 "--branch", "audit", "--publish-branch", "audit"]
-        proc = subprocess.run(base, capture_output=True, text=True, timeout=300)
+        # maintenance composes with WAP: publish runs FIRST, the rewrite
+        # then applies to the published main (it used to run before the
+        # fast-forward and make it fail as divergent)
+        proc = subprocess.run(
+            base + ["--rewrite-data-files", "--rewrite-sort-by", "doc_sha"],
+            capture_output=True, text=True, timeout=300,
+        )
         assert proc.returncode == 0, proc.stderr[-2000:]
         metrics = _json.loads(proc.stdout.strip().splitlines()[-1])
-        assert metrics["published_snapshot"] == S.current_snapshot_id(out)
         assert metrics["snapshot_id"] == metrics["published_snapshot"]
+        assert metrics["rewrite_data_files"]["leaves_rewritten"] >= 1
         assert S.read_table_at(spark, out, "edges").count() > 0
 
-        proc2 = subprocess.run(base, capture_output=True, text=True, timeout=300)
+        # each run cuts a FRESH branch (the WAP convention): the first
+        # run's ref is stale once maintenance advanced main past it
+        base2 = [a.replace("audit", "audit2") for a in base]
+        proc2 = subprocess.run(base2, capture_output=True, text=True, timeout=300)
         assert proc2.returncode == 0, proc2.stderr[-2000:]
         m2 = _json.loads(proc2.stdout.strip().splitlines()[-1])
         assert m2["docs_in_batch"] == 0  # all resumed
@@ -740,6 +749,57 @@ def test_wap_branch_write_audit_publish(spark):
         res2 = S.expire_snapshots(out, keep_last=1)
         assert res2["pinned_branches"] == {} and res2["deleted_files"] >= 1
         assert sorted(r["x"] for r in S.read_table_at(spark, out, "nodes").collect()) == [1, 2, 3, 4]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_wap_branch_first_dir_and_expire_survival(spark):
+    """Three WAP hardening contracts (code-review r5): (1) a branch-only
+    dir (first batch staged, no main commit) is NOT 'imported' into main
+    by the next writer's entry hygiene — HEAD readers keep seeing
+    nothing; (2) a staged branch remains publishable AFTER
+    expire_snapshots (the branch head is rebased onto its surviving main
+    ancestor, not severed to a root); (3) with no main commit at all, an
+    abandoned branch is still reclaimable by expire."""
+    out = tempfile.mkdtemp(prefix="snap_wapx_")
+    try:
+        pre = S.list_data_files(out)
+        _write_batch(spark, out, [("A", 1)])
+        b1, post1 = _commit_delta(out, pre, branch="audit")
+        # (1) second-writer entry hygiene: no import of unaudited files
+        S.ensure_baseline(out)
+        assert S.current_snapshot_id(out) is None
+        assert S.read_table_at(spark, out, "nodes").count() == 0
+        assert S.fast_forward(out, "audit") == b1["snapshot_id"]
+        S.delete_branch(out, "audit")
+        assert S.read_table_at(spark, out, "nodes").count() == 1
+
+        # (2) stage, expire, THEN publish — must not read as divergent
+        _write_batch(spark, out, [("B", 2)])
+        b2, _ = _commit_delta(out, post1, branch="audit2")
+        S.expire_snapshots(out, keep_last=1)
+        assert S.read_table_at(spark, out, "nodes", branch="audit2").count() == 2
+        assert S.fast_forward(out, "audit2") == b2["snapshot_id"]
+        assert S.read_table_at(spark, out, "nodes").count() == 2
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_expire_reclaims_abandoned_branch_without_main(spark):
+    """A fresh dir whose ONLY history is an abandoned staged branch:
+    delete_branch + expire must reclaim both the snapshot JSONs and the
+    data files even though main never committed (expire used to
+    early-return on HEAD=None and leak the batch forever)."""
+    out = tempfile.mkdtemp(prefix="snap_wap0_")
+    try:
+        pre = S.list_data_files(out)
+        _write_batch(spark, out, [("A", 1), ("B", 2)])
+        _commit_delta(out, pre, branch="audit")
+        S.delete_branch(out, "audit")
+        res = S.expire_snapshots(out, keep_last=1)
+        assert res["expired"] >= 1 and res["deleted_files"] >= 1
+        assert S.list_snapshots(out) == []
+        assert not any(S.list_data_files(out).values())
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
