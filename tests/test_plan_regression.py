@@ -269,7 +269,12 @@ def test_corpus_shaping_plans(spark):
             stratified_sample(docs, rates)._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in p_sample, p_sample
-        assert "Exchange hashpartitioning" not in p_sample, p_sample
+        # the CORPUS path (everything above its FileScan, i.e. the
+        # streamed join side) must be exchange-free; the duplicate-rate
+        # max-aggregation on the few-row rates DIM may shuffle itself
+        # inside the BroadcastExchange subtree — that's dim-sized work
+        corpus_side = p_sample.partition("FileScan parquet [doc_id")[0]
+        assert "Exchange" not in corpus_side, p_sample
 
         p_pack = pack_sequences(docs)._jdf.queryExecution().executedPlan().toString()
         assert p_pack.count("Exchange hashpartitioning") == 1, p_pack
