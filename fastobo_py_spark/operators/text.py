@@ -296,6 +296,41 @@ def stratified_sample(
     )
 
 
+def decontaminate(
+    documents: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Test-set decontamination — the overlap pass a training pipeline
+    runs against its benchmark/eval sets before shipping a corpus: a
+    training document is contaminated iff it shares at least one
+    normalized word ``n``-gram with any eval document (the classic
+    13-gram collision check, here parameterized). Returns one row per
+    contaminated training doc with its distinct-shingle hit count; the
+    caller anti-joins to drop them.
+
+    Scale shape: shingles are md5-hashed (fixed-width join keys), the
+    EVAL side is deduplicated and broadcast — eval sets are bounded by
+    nature (thousands of docs) while the corpus side streams through a
+    scan + explode + broadcast-probe with no corpus shuffle except the
+    final per-doc count aggregation."""
+    def shingles(df: DataFrame) -> DataFrame:
+        toks = tokens(normalize_text(F.col(text_col)))
+        return df.select(
+            id_col, F.explode(F.array_distinct(word_kgrams(toks, n))).alias("_g")
+        ).select(id_col, F.md5("_g").alias("_h"))
+
+    eval_sh = shingles(eval_docs).select("_h").distinct()
+    return (
+        shingles(documents)
+        .join(F.broadcast(eval_sh), "_h", "inner")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_h").cast("long").alias("n_hits"))
+    )
+
+
 def pack_sequences(
     documents: DataFrame,
     window_tokens: int = 256,

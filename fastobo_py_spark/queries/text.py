@@ -289,6 +289,41 @@ ORDER BY doc_id
 """
 
 
+def q_corpus_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Test-set decontamination (operators/text.py::decontaminate):
+    docs with doc_id % 7 == 0 stand in for the benchmark/eval set;
+    every other doc sharing a normalized 8-token shingle with any of
+    them is flagged with its distinct-hit count — the pre-ship overlap
+    pass. Eval shingles broadcast; the corpus side never shuffles except
+    the per-doc count."""
+    docs = load_table(spark, sf, "documents")
+    train = docs.where(F.col("doc_id") % 7 != 0)
+    ev = docs.where(F.col("doc_id") % 7 == 0)
+    return X.decontaminate(train, ev, n=8).orderBy("doc_id")
+
+
+SQL_CORPUS_DECONTAMINATE = r"""
+WITH norm AS (
+  SELECT doc_id,
+         CASE WHEN trim(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') END AS ntoks
+  FROM documents
+), idx AS (
+  SELECT doc_id, ntoks, unnest(range(1, len(ntoks) - 6)) AS i FROM norm WHERE len(ntoks) >= 8
+), sh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(ntoks[i:i+7], ' ')) AS h FROM idx
+), ev AS (
+  SELECT DISTINCT h FROM sh WHERE doc_id % 7 = 0
+), tr AS (
+  SELECT doc_id, h FROM sh WHERE doc_id % 7 <> 0
+)
+SELECT doc_id, CAST(count(DISTINCT h) AS BIGINT) AS n_hits
+FROM tr JOIN ev USING (h)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES.update(
     {
         "text_stats": q_text_stats,
@@ -298,6 +333,7 @@ QUERIES.update(
         "text_chunks": q_text_chunks,
         "corpus_sample": q_corpus_sample,
         "text_pack": q_text_pack,
+        "corpus_decontaminate": q_corpus_decontaminate,
     }
 )
 STATIC_SQLS.update(
@@ -309,5 +345,6 @@ STATIC_SQLS.update(
         "text_chunks": SQL_TEXT_CHUNKS,
         "corpus_sample": SQL_CORPUS_SAMPLE,
         "text_pack": SQL_TEXT_PACK,
+        "corpus_decontaminate": SQL_CORPUS_DECONTAMINATE,
     }
 )
