@@ -632,6 +632,7 @@ def compact_outputs(
 
     from fastobo_py_spark.plans import snapshots as _snap
 
+    _snap._refuse_pending_deletes(out_dir, tables, "compact_outputs")
     tags = _snap.list_tags(out_dir)
     if tags:
         raise ValueError(

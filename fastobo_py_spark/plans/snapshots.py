@@ -153,6 +153,8 @@ def commit_snapshot(
     parent_id: str | None = None,
     summary: dict | None = None,
     branch: str | None = None,
+    delete_added: dict[str, list[str]] | None = None,
+    delete_removed: dict[str, list[str]] | None = None,
 ) -> dict:
     """Commit one snapshot: write the JSON (atomic rename), then advance
     HEAD (second atomic rename). ``parent_id`` defaults to current HEAD —
@@ -194,6 +196,12 @@ def commit_snapshot(
         "removed": {t: sorted(fs) for t, fs in (removed or {}).items() if fs},
         "summary": summary or {},
     }
+    # equality-delete (merge-on-read) file deltas — omitted entirely when
+    # unused so pre-MoR snapshot JSONs stay byte-stable
+    if delete_added and any(delete_added.values()):
+        snap["delete_added"] = {t: sorted(fs) for t, fs in delete_added.items() if fs}
+    if delete_removed and any(delete_removed.values()):
+        snap["delete_removed"] = {t: sorted(fs) for t, fs in delete_removed.items() if fs}
     _atomic_write(
         os.path.join(_snap_root(out_dir), f"snap-{seq:08d}-{sid}.json"),
         json.dumps(snap, indent=1),
@@ -205,10 +213,10 @@ def commit_snapshot(
     return snap
 
 
-def _resolve_from(snaps: dict[str, dict], sid: str, table: str) -> list[str]:
-    """Chain-walk resolution against an already-loaded snapshot map —
-    the shared core of :func:`resolve_files` and the expire rebase loops
-    (which would otherwise re-read the whole JSON log per (ref, table))."""
+EQ_DELETE_DIR = "_eq_deletes"
+
+
+def _chain(snaps: dict[str, dict], sid: str) -> list[dict]:
     chain = []
     cur: str | None = sid
     while cur is not None:
@@ -217,8 +225,59 @@ def _resolve_from(snaps: dict[str, dict], sid: str, table: str) -> list[str]:
             raise ValueError(f"snapshot {cur} not found (expired or never committed)")
         chain.append(s)
         cur = s["parent_id"]
+    return chain
+
+
+def _resolve_with_seq(snaps: dict[str, dict], sid: str, table: str) -> dict[str, int]:
+    """{data-file rel: sequence of the snapshot that added it} at ``sid``
+    — the per-file ordinal Iceberg calls the data sequence number, which
+    decides whether an equality delete applies to a file."""
+    files: dict[str, int] = {}
+    for s in reversed(_chain(snaps, sid)):
+        for rel in s["added"].get(table, ()):
+            files[rel] = int(s["sequence"])
+        for rel in s["removed"].get(table, ()):
+            files.pop(rel, None)
+    return files
+
+
+def _refuse_pending_deletes(out_dir: str, tables: tuple, op_name: str) -> None:
+    """Maintenance ops that rewrite or re-sequence data files must not
+    run over pending equality deletes: a rewritten file gets a NEW
+    (higher) sequence, the sequence rule stops applying the delete to
+    it, and the masked rows silently resurrect. Iceberg's guidance is
+    the same — materialize/rewrite delete files first."""
+    head = current_snapshot_id(out_dir)
+    if head is None:
+        return
+    snaps = _load_by_id(out_dir)
+    pending = [t for t in tables if _pending_deletes(snaps, head, t)]
+    if pending:
+        raise ValueError(
+            f"{op_name} refused: pending equality deletes on {pending} would be "
+            "re-sequenced and their masked rows resurrected — run "
+            "materialize_deletes(spark, out_dir) first"
+        )
+
+
+def _pending_deletes(snaps: dict[str, dict], sid: str, table: str) -> list[tuple[str, int]]:
+    """Equality-delete files still pending (committed, not yet
+    materialized) at ``sid``, with their sequence numbers."""
+    dels: dict[str, int] = {}
+    for s in reversed(_chain(snaps, sid)):
+        for rel in s.get("delete_added", {}).get(table, ()):
+            dels[rel] = int(s["sequence"])
+        for rel in s.get("delete_removed", {}).get(table, ()):
+            dels.pop(rel, None)
+    return sorted(dels.items())
+
+
+def _resolve_from(snaps: dict[str, dict], sid: str, table: str) -> list[str]:
+    """Chain-walk resolution against an already-loaded snapshot map —
+    the shared core of :func:`resolve_files` and the expire rebase loops
+    (which would otherwise re-read the whole JSON log per (ref, table))."""
     files: set[str] = set()
-    for s in reversed(chain):
+    for s in reversed(_chain(snaps, sid)):
         files |= set(s["added"].get(table, ()))
         files -= set(s["removed"].get(table, ()))
     return sorted(files)
@@ -284,7 +343,11 @@ def read_table_at(
 ) -> DataFrame:
     """Snapshot-consistent read of ``table`` at a snapshot id / AS-OF
     timestamp / named tag / branch head (default HEAD); scan shape per
-    :func:`_scan_files`."""
+    :func:`_scan_files`. Pending equality deletes (merge-on-read,
+    :func:`equality_delete`) are applied on read with Iceberg's sequence
+    rule — a delete masks only rows in data files OLDER than it, so a
+    later re-insert of a deleted key is visible; with none pending
+    (the common case) the plan is the plain single scan."""
     if sum(x is not None for x in (snapshot_id, as_of_ms, tag, branch)) > 1:
         raise ValueError("pass at most one of snapshot_id, as_of_ms, tag, branch")
     if as_of_ms is not None:
@@ -293,7 +356,62 @@ def read_table_at(
         snapshot_id = resolve_tag(out_dir, tag)
     if branch is not None:
         snapshot_id = resolve_branch(out_dir, branch)
-    return _scan_files(spark, out_dir, table, resolve_files(out_dir, table, snapshot_id))
+    sid = snapshot_id or current_snapshot_id(out_dir)
+    if sid is None:
+        return _scan_files(spark, out_dir, table, [])
+    snaps = _load_by_id(out_dir)
+    dels = _pending_deletes(snaps, sid, table)
+    if not dels:
+        return _scan_files(spark, out_dir, table, _resolve_from(snaps, sid, table))
+    return _apply_eq_deletes(spark, out_dir, table, _resolve_with_seq(snaps, sid, table), dels)
+
+
+def _apply_eq_deletes(
+    spark: SparkSession,
+    out_dir: str,
+    table: str,
+    file_seq: dict[str, int],
+    dels: list[tuple[str, int]],
+) -> DataFrame:
+    """Merge-on-read scan: group data files by WHICH deletes apply
+    (a delete file masks data files with a strictly smaller sequence —
+    Iceberg's rule, so re-inserted keys in newer files survive), then
+    per group anti-join the union of its applicable delete-key sets,
+    null-safe on the delete file's own columns. Group count is bounded
+    by the number of delete commits (+1), and delete-key sets broadcast
+    — takedown lists are small by nature; a pending set large enough to
+    hurt is the signal to run :func:`materialize_deletes`."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    if not file_seq:
+        return _scan_files(spark, out_dir, table, [])
+    groups: dict[tuple, list[str]] = {}
+    for rel, aseq in file_seq.items():
+        appl = tuple(sorted(d_rel for d_rel, dseq in dels if dseq > aseq))
+        groups.setdefault(appl, []).append(rel)
+    parts = []
+    for appl, rels in sorted(groups.items()):
+        df = _scan_files(spark, out_dir, table, sorted(rels))
+        by_schema: dict[tuple, list[DataFrame]] = {}
+        for d_rel in appl:
+            kdf = spark.read.parquet(os.path.join(out_dir, d_rel))
+            by_schema.setdefault(tuple(kdf.columns), []).append(kdf)
+        for cols, kdfs in sorted(by_schema.items()):
+            keys = kdfs[0]
+            for k in kdfs[1:]:
+                keys = keys.unionByName(k)
+            keys = keys.distinct()
+            cond = reduce(
+                lambda a, b: a & b, [df[c].eqNullSafe(keys[c]) for c in cols]
+            )
+            df = df.join(F.broadcast(keys), cond, "left_anti")
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
 
 
 # ops whose added files carry NEW rows (an incremental scan reads them) vs
@@ -458,12 +576,27 @@ def expire_snapshots(out_dir: str, keep_last: int = 1, tables: tuple = TABLES) -
         for t in hist_tables:
             keep_files[t] |= tfiles[t]
 
+    # expiring history over pending equality deletes would collapse the
+    # per-file sequence numbers the masks depend on: refuse for EVERY
+    # retained read target (kept chain + pins), same rule as rewrite
+    for x in kept_ids:
+        for t in hist_tables:
+            if _pending_deletes(snaps, x, t):
+                raise ValueError(
+                    f"expire_snapshots refused: retained snapshot {x} has pending "
+                    f"equality deletes on {t!r} — run materialize_deletes first"
+                )
+
     def _rebase(snap: dict, files: dict[str, set], anc: str | None) -> None:
         """Rewrite ``snap`` to resolve without its expired ancestry:
         as a parentless root holding the full file set, or — for a
         branch head with a surviving main ancestor — as a DELTA against
         that ancestor, preserving the fast-forward ancestry walk."""
         snap = dict(snap)
+        # a rebased snapshot has (enforced above) no pending deletes; its
+        # literal delete fields would be stale bookkeeping
+        snap.pop("delete_added", None)
+        snap.pop("delete_removed", None)
         if anc is None:
             snap["parent_id"] = None
             snap["added"] = {t: sorted(files[t]) for t in hist_tables if files[t]}
@@ -528,21 +661,33 @@ def remove_orphan_files(out_dir: str, tables: tuple = TABLES) -> int:
     import shutil
 
     for d in os.listdir(out_dir) if os.path.isdir(out_dir) else ():
-        if d.startswith(("_rewrite_tmp-", "_delete_tmp-", "_merge_tmp-")):
+        if d.startswith(("_rewrite_tmp-", "_delete_tmp-", "_merge_tmp-", "_eqdel_tmp-")):
             shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
     snaps = list_snapshots(out_dir)
     if not snaps:
         return 0
     referenced: dict[str, set] = {t: set() for t in tables}
+    del_referenced: set[str] = set()
     for s in snaps:
         for t in tables:
             referenced[t] |= set(s["added"].get(t, ()))
+        for fs in s.get("delete_added", {}).values():
+            del_referenced |= set(fs)
     deleted = 0
     on_disk = list_data_files(out_dir, tables)
     for t in tables:
         for rel in sorted(on_disk[t] - referenced[t]):
             os.remove(os.path.join(out_dir, rel))
             deleted += 1
+    # equality-delete files referenced by no retained snapshot
+    eq_root = os.path.join(out_dir, EQ_DELETE_DIR)
+    if os.path.isdir(eq_root):
+        for dirpath, _dirnames, files in os.walk(eq_root):
+            for f in files:
+                rel = os.path.relpath(os.path.join(dirpath, f), out_dir)
+                if f.endswith(".parquet") and rel not in del_referenced:
+                    os.remove(os.path.join(dirpath, f))
+                    deleted += 1
     return deleted
 
 
@@ -790,6 +935,7 @@ def rewrite_data_files(
 
     if current_snapshot_id(out_dir) is None:
         raise ValueError("rewrite_data_files needs a snapshot log; use compact_outputs instead")
+    _refuse_pending_deletes(out_dir, tables, "rewrite_data_files")
     cid = uuid.uuid4().hex[:8]
     tmp_root = os.path.join(out_dir, f"_rewrite_tmp-{cid}")
     stats = {"leaves_seen": 0, "leaves_rewritten": 0, "parts_before": 0, "parts_after": 0}
@@ -946,6 +1092,7 @@ def delete_where(
 
     if current_snapshot_id(out_dir) is None:
         raise ValueError("delete_where needs a snapshot log (run a pipeline batch first)")
+    _refuse_pending_deletes(out_dir, tables, "delete_where")
     cid = uuid.uuid4().hex[:8]
     tmp_root = os.path.join(out_dir, f"_delete_tmp-{cid}")
     added: dict[str, list[str]] = {t: [] for t in tables}
@@ -1044,6 +1191,7 @@ def merge_into(
 
     if current_snapshot_id(out_dir) is None:
         raise ValueError("merge_into needs a snapshot log (run a pipeline batch first)")
+    _refuse_pending_deletes(out_dir, (table,), "merge_into")
     on = [on] if isinstance(on, str) else list(on)
     if not on:
         raise ValueError("merge_into needs at least one merge key column")
@@ -1122,6 +1270,158 @@ def merge_into(
     return {
         "matched_rows": matched_rows,
         "files_rewritten": len(affected),
+        "snapshot_id": snap["snapshot_id"],
+        "summary": summary,
+    }
+
+
+def equality_delete(
+    spark: SparkSession,
+    out_dir: str,
+    predicate: str,
+    keys: tuple = ("doc_sha",),
+    tables: tuple = TABLES,
+) -> dict:
+    """Merge-on-read row-level DELETE — Iceberg v2 EQUALITY DELETE
+    files, the write-cheap dual of :func:`delete_where`'s copy-on-write:
+    instead of rewriting every affected data file NOW, commit one tiny
+    parquet of matched key tuples per table; readers
+    (:func:`read_table_at`) mask matching rows on the fly, scoped by
+    sequence number so later re-inserts of the key are NOT masked.
+
+    The 100 TB trade: a takedown touching a handful of doc_shas costs
+    O(matched keys) at write time — no petabyte file rewrites on the
+    takedown's deadline — and a small anti-join tax on every read until
+    :func:`materialize_deletes` folds the masks into the data files
+    during scheduled maintenance (Iceberg's compaction does the same).
+    ``rewrite_data_files`` and ``expire_snapshots`` refuse to run with
+    pending deletes: both re-sequence or drop the history the sequence
+    rule depends on — materialize first, exactly Iceberg's guidance.
+
+    Physical purge discipline is unchanged from CoW: the masked rows
+    still sit in the data files until materialize + expire.
+    """
+    from pyspark.sql import functions as F
+
+    if current_snapshot_id(out_dir) is None:
+        raise ValueError("equality_delete needs a snapshot log (run a pipeline batch first)")
+    if not keys:
+        raise ValueError("equality_delete needs at least one key column")
+    import shutil
+
+    cid = uuid.uuid4().hex[:8]
+    tmp_root = os.path.join(out_dir, f"_eqdel_tmp-{cid}")
+    delete_added: dict[str, list[str]] = {}
+    summary: dict[str, int] = {}
+    try:
+        for t in tables:
+            rels = resolve_files(out_dir, t)
+            if not rels:
+                continue
+            scan = _scan_files(spark, out_dir, t, rels)
+            hit = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
+            matched = scan.where(hit).select(*keys).distinct()
+            tmp_t = os.path.join(tmp_root, t)
+            matched.coalesce(1).write.mode("overwrite").parquet(tmp_t)
+            part = [f for f in sorted(os.listdir(tmp_t)) if f.endswith(".parquet")]
+            # count from the tiny written file — no second scan of the table
+            n_keys = spark.read.parquet(tmp_t).count() if part else 0
+            if n_keys == 0:
+                continue
+            dest_dir = os.path.join(out_dir, EQ_DELETE_DIR, t)
+            os.makedirs(dest_dir, exist_ok=True)
+            rel = os.path.join(EQ_DELETE_DIR, t, f"eqdel{cid}-{part[0]}")
+            os.rename(os.path.join(tmp_t, part[0]), os.path.join(out_dir, rel))
+            delete_added[t] = [rel]
+            summary[f"{t}_deleted_keys"] = int(n_keys)
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+    if not delete_added:
+        return {"deleted_keys": 0, "snapshot_id": None}
+    snap = commit_snapshot(
+        out_dir, added={}, op="eq-delete", summary=summary, delete_added=delete_added
+    )
+    return {
+        "deleted_keys": sum(summary.values()),
+        "snapshot_id": snap["snapshot_id"],
+        "summary": summary,
+    }
+
+
+def materialize_deletes(spark: SparkSession, out_dir: str, tables: tuple = TABLES) -> dict:
+    """Fold pending equality deletes into the data files (Iceberg:
+    compaction materializing delete files): every data file a delete
+    applies to is rewritten without its masked rows, in one partitionBy
+    job per table, then a single ``op="replace"`` snapshot removes the
+    delete files from the pending set — row-preserving for HEAD readers
+    (the rows were already invisible), so incremental scans skip it like
+    any compaction. After this, reads are back to the plain single scan
+    and ``rewrite_data_files`` / ``expire_snapshots`` run normally."""
+    import shutil
+
+    head = current_snapshot_id(out_dir)
+    if head is None:
+        raise ValueError("materialize_deletes needs a snapshot log")
+    snaps = _load_by_id(out_dir)
+    cid = uuid.uuid4().hex[:8]
+    tmp_root = os.path.join(out_dir, f"_eqdel_tmp-{cid}")
+    added: dict[str, list[str]] = {}
+    removed: dict[str, list[str]] = {}
+    delete_removed: dict[str, list[str]] = {}
+    summary: dict[str, int] = {}
+    try:
+        for t in tables:
+            dels = _pending_deletes(snaps, head, t)
+            if not dels:
+                continue
+            file_seq = _resolve_with_seq(snaps, head, t)
+            delete_removed[t] = [d for d, _s in dels]
+            # probe per delete file: only files that HOLD a masked row
+            # are rewritten (applicable-but-clean files keep their
+            # physical identity) — null-safe to match the read-side mask
+            from functools import reduce
+
+            from pyspark.sql import functions as F
+
+            hit: set[str] = set()
+            for d_rel, dseq in dels:
+                cands = sorted(r for r, aseq in file_seq.items() if aseq < dseq)
+                if not cands:
+                    continue
+                kdf = spark.read.parquet(os.path.join(out_dir, d_rel)).distinct()
+                tagged = _scan_files(spark, out_dir, t, cands).select(
+                    F.input_file_name().alias("_uri"), *kdf.columns
+                )
+                cond = reduce(
+                    lambda a, b: a & b, [tagged[c].eqNullSafe(kdf[c]) for c in kdf.columns]
+                )
+                rows = tagged.join(kdf, cond, "left_semi").select("_uri").distinct().collect()
+                hit |= {_uri_to_rel(r["_uri"], out_dir) for r in rows}
+            affected = sorted(hit)
+            if not affected:
+                continue
+            keep = _apply_eq_deletes(
+                spark, out_dir, t, {r: file_seq[r] for r in affected}, dels
+            )
+            part_cols = _part_cols_for(out_dir, t, affected[0])
+            added[t] = _stage_and_adopt(keep, out_dir, t, part_cols, f"mat{cid}", tmp_root)
+            removed[t] = affected
+            summary[f"{t}_files_rewritten"] = len(affected)
+            summary[f"{t}_delete_files_folded"] = len(dels)
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+    if not any(delete_removed.values()):
+        return {"files_rewritten": 0, "snapshot_id": None}
+    snap = commit_snapshot(
+        out_dir,
+        added=added,
+        removed=removed,
+        op="replace",
+        summary=summary,
+        delete_removed=delete_removed,
+    )
+    return {
+        "files_rewritten": sum(v for k, v in summary.items() if k.endswith("_files_rewritten")),
         "snapshot_id": snap["snapshot_id"],
         "summary": summary,
     }

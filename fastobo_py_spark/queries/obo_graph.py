@@ -466,6 +466,50 @@ def sql_obo_snapshot_merge() -> str:
     return _values_sql(sorted(out), ["metric", "value"])
 
 
+def q_obo_snapshot_mor(spark: SparkSession, sf: str) -> DataFrame:
+    """Merge-on-read DELETE on the snapshotted KG (Iceberg v2 equality
+    deletes): same takedown as obo_snapshot_delete but via
+    ``equality_delete`` — the write commits only key files, reads mask
+    on the fly, then ``materialize_deletes`` + ``expire_snapshots``
+    complete the physical purge. Identical visible states to the CoW
+    path (the two row-level delete strategies must agree), so the oracle
+    IS the CoW delete oracle."""
+    import shutil
+    import tempfile
+
+    from fastobo_py_spark.plans import snapshots as S
+    from fastobo_py_spark.plans.pipeline import run_pipeline
+
+    corpus = _corpus_df(spark)
+    out = tempfile.mkdtemp(prefix="kg_mor_q_")
+    try:
+        m1 = run_pipeline(spark, corpus, out, canonicalize=False)
+        S.equality_delete(spark, out, "substring(doc_sha, 1, 1) < '8'", keys=("doc_sha",))
+
+        def counts(tag, sid=None):
+            e = S.read_table_at(spark, out, "edges", snapshot_id=sid)
+            n = S.read_table_at(spark, out, "nodes", snapshot_id=sid)
+            return [
+                (f"docs{tag}", e.select("doc_sha").distinct().count()),
+                (f"edges{tag}", e.select("subj", "pred", "obj", "doc_sha").distinct().count()),
+                (f"nodes{tag}", n.count()),
+            ]
+
+        rows = counts("_head")
+        rows += counts("_tt", m1["snapshot_id"])
+        S.materialize_deletes(spark, out)
+        S.expire_snapshots(out, keep_last=1)
+        rows += counts("_purged")
+        return spark.createDataFrame(sorted(rows), "metric string, value bigint").orderBy("metric")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def sql_obo_snapshot_mor() -> str:
+    # the MoR and CoW delete paths must present IDENTICAL visible states
+    return sql_obo_snapshot_delete()
+
+
 def q_obo_snapshot_wap(spark: SparkSession, sf: str) -> DataFrame:
     """Write-audit-publish on the snapshotted KG (Iceberg branch refs):
     batch 1 lands on main; batch 2 (the corpus remainder, via resume)
@@ -669,6 +713,7 @@ QUERIES.update(
         "obo_snapshot_delete": q_obo_snapshot_delete,
         "obo_snapshot_merge": q_obo_snapshot_merge,
         "obo_snapshot_wap": q_obo_snapshot_wap,
+        "obo_snapshot_mor": q_obo_snapshot_mor,
     }
 )
 _GENERATED_ORACLES.update(
@@ -680,6 +725,7 @@ _GENERATED_ORACLES.update(
         "obo_snapshot_delete": sql_obo_snapshot_delete,
         "obo_snapshot_merge": sql_obo_snapshot_merge,
         "obo_snapshot_wap": sql_obo_snapshot_wap,
+        "obo_snapshot_mor": sql_obo_snapshot_mor,
     }
 )
 

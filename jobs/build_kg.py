@@ -84,6 +84,23 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--merge-on", default="doc_sha", metavar="KEY[,KEY...]",
                     help="comma-separated merge key columns (default doc_sha)")
+    ap.add_argument(
+        "--eq-delete-where",
+        default=None,
+        metavar="PREDICATE",
+        help="after the batch, MERGE-ON-READ delete: commit equality-"
+        "delete key files for rows matching this SQL predicate (keyed on "
+        "doc_sha; no data-file rewrites — readers mask on the fly until "
+        "--materialize-deletes folds them in)",
+    )
+    ap.add_argument(
+        "--materialize-deletes",
+        action="store_true",
+        help="after the batch, fold all pending equality deletes into the "
+        "data files (rewrites only files holding masked rows; required "
+        "before --rewrite-data-files/--expire-snapshots when deletes are "
+        "pending)",
+    )
     ap.add_argument("--expire-snapshots", type=int, default=None, metavar="KEEP",
                     help="after the batch, keep only the newest KEEP snapshots and "
                     "delete data files no retained snapshot references")
@@ -201,6 +218,14 @@ def main(argv: list[str] | None = None) -> int:
             metrics["merge_into"] = snap.merge_into(
                 spark, args.out, table, spark.read.parquet(src_path), on=merge_on_cols
             )
+        if args.eq_delete_where:
+            from fastobo_py_spark.plans import snapshots as snap
+
+            metrics["eq_delete"] = snap.equality_delete(spark, args.out, args.eq_delete_where)
+        if args.materialize_deletes:
+            from fastobo_py_spark.plans import snapshots as snap
+
+            metrics["materialize_deletes"] = snap.materialize_deletes(spark, args.out)
         if args.expire_snapshots is not None:
             from fastobo_py_spark.plans import snapshots as snap
 

@@ -704,6 +704,66 @@ def meta_op(spark, out, sid):
     return rows[sid]
 
 
+def test_equality_delete_merge_on_read(spark):
+    """equality_delete = Iceberg v2 MoR: the takedown commits a tiny
+    key file (NO data-file rewrites — file set identity preserved),
+    reads mask matching rows with the sequence rule (a re-insert AFTER
+    the delete is visible), maintenance that would re-sequence files
+    refuses until materialize_deletes folds the masks in, and after
+    materialization reads are plain scans, history expires, and the
+    delete file is reaped."""
+    out = tempfile.mkdtemp(prefix="snap_mor_")
+    try:
+        pre = S.list_data_files(out)
+        _write_batch(spark, out, [("A", 1), ("A", 10), ("B", 2)])
+        s1, post1 = _commit_delta(out, pre)
+        files_before = set(S.resolve_files(out, "nodes"))
+
+        eq = S.equality_delete(spark, out, "x >= 10", keys=("x",), tables=("nodes",))
+        assert eq["deleted_keys"] == 1
+        # masked on read, zero data files touched
+        assert set(S.resolve_files(out, "nodes")) == files_before
+        assert sorted(r["x"] for r in S.read_table_at(spark, out, "nodes").collect()) == [1, 2]
+        # time travel to pre-delete still sees the masked row
+        tt = S.read_table_at(spark, out, "nodes", snapshot_id=s1["snapshot_id"])
+        assert sorted(r["x"] for r in tt.collect()) == [1, 2, 10]
+
+        # sequence rule: a LATER re-insert of the deleted key is visible
+        # (the eq-delete file lives outside the table dirs, so post1 is
+        # still the correct pre-write baseline for this data commit)
+        _write_batch(spark, out, [("C", 10)])
+        _commit_delta(out, post1)
+        head = sorted((r["idspace"], r["x"]) for r in S.read_table_at(spark, out, "nodes").collect())
+        assert head == [("A", 1), ("B", 2), ("C", 10)]
+
+        # incremental refuses across the delete; maintenance refuses
+        # until materialization
+        with pytest.raises(ValueError, match="non-append"):
+            S.incremental_files(out, "nodes", s1["snapshot_id"])
+        with pytest.raises(ValueError, match="materialize"):
+            S.rewrite_data_files(spark, out, tables=("nodes",), max_parts=0)
+        with pytest.raises(ValueError, match="materialize"):
+            S.delete_where(spark, out, "x < 0", tables=("nodes",))
+        with pytest.raises(ValueError, match="materialize"):
+            S.expire_snapshots(out, keep_last=1)
+
+        st = S.materialize_deletes(spark, out, tables=("nodes",))
+        # only the ONE file holding the masked row is rewritten; C's
+        # file holds x=10 too but the delete doesn't apply to it
+        assert st["files_rewritten"] == 1
+        assert sorted((r["idspace"], r["x"]) for r in S.read_table_at(spark, out, "nodes").collect()) == head
+        # incremental works across the materialization (op=replace)
+        # for ranges that don't cross the eq-delete itself
+        mid = S.snapshots_table(spark, out).collect()
+        # maintenance unblocked; expire reaps the folded delete file
+        S.expire_snapshots(out, keep_last=1)
+        assert S.remove_orphan_files(out, tables=("nodes",)) >= 1  # eqdel file reaped
+        assert sorted((r["idspace"], r["x"]) for r in S.read_table_at(spark, out, "nodes").collect()) == head
+        assert mid  # metadata table renders the eq-delete op
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_wap_branch_write_audit_publish(spark):
     """Branch refs (Iceberg WAP): commits to a branch stay invisible to
     HEAD readers, fast_forward publishes atomically (and refuses a
