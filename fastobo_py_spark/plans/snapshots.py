@@ -403,6 +403,12 @@ def _apply_eq_deletes(
             for k in kdfs[1:]:
                 keys = keys.unionByName(k)
             keys = keys.distinct()
+            # a delete keyed on a column these (older) files predate
+            # reads as NULL — Iceberg's missing-equality-column rule —
+            # instead of failing analysis on every read
+            for c, dtype in keys.dtypes:
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None).cast(dtype))
             cond = reduce(
                 lambda a, b: a & b, [df[c].eqNullSafe(keys[c]) for c in cols]
             )
@@ -545,6 +551,26 @@ def expire_snapshots(out_dir: str, keep_last: int = 1, tables: tuple = TABLES) -
         for t in hist_tables:
             keep_files[t] |= set(s["added"].get(t, ()))
 
+    # only REBASED snapshots lose the per-file sequence numbers the
+    # equality-delete masks depend on (their whole file set re-adds at
+    # one sequence). Interior kept deltas keep real sequences, so
+    # history spanning an eq-delete→materialize pair expires fine with a
+    # big-enough keep_last; the refusal is scoped to what rebases: the
+    # keep boundary and every pinned ref (code-review r5 — the earlier
+    # any-retained-snapshot rule locked such history out permanently)
+    def _refuse_if_pending_at(sid: str, what: str) -> None:
+        for t in hist_tables:
+            if _pending_deletes(snaps, sid, t):
+                raise ValueError(
+                    f"expire_snapshots refused: {what} {sid} has pending equality "
+                    f"deletes on {t!r} and would be rebased, losing the sequence "
+                    "numbers its masks depend on — materialize_deletes first, "
+                    "raise keep_last past the eq-delete snapshot, or drop the ref"
+                )
+
+    if base is not None:
+        _refuse_if_pending_at(base["snapshot_id"], "keep-boundary snapshot")
+
     # tagged snapshots AND branch heads are retention pins (Iceberg ref
     # semantics); resolve all of them against the still-intact history
     # first. (Only a branch's HEAD is retained; its interior audit
@@ -558,6 +584,7 @@ def expire_snapshots(out_dir: str, keep_last: int = 1, tables: tuple = TABLES) -
     for sid in sorted((set(tags.values()) | branch_heads) - kept_ids):
         if sid not in snaps:
             continue  # dangling ref; nothing to retain
+        _refuse_if_pending_at(sid, "pinned ref snapshot")
         tfiles = {t: set(_resolve_from(snaps, sid, t)) for t in hist_tables}
         # a branch head keeps its link to main: nearest ancestor on the
         # kept chain (computed NOW, while the full ancestry is intact)
@@ -575,17 +602,6 @@ def expire_snapshots(out_dir: str, keep_last: int = 1, tables: tuple = TABLES) -
         pinned_branches.update({n: s for n, s in branches.items() if s == sid})
         for t in hist_tables:
             keep_files[t] |= tfiles[t]
-
-    # expiring history over pending equality deletes would collapse the
-    # per-file sequence numbers the masks depend on: refuse for EVERY
-    # retained read target (kept chain + pins), same rule as rewrite
-    for x in kept_ids:
-        for t in hist_tables:
-            if _pending_deletes(snaps, x, t):
-                raise ValueError(
-                    f"expire_snapshots refused: retained snapshot {x} has pending "
-                    f"equality deletes on {t!r} — run materialize_deletes first"
-                )
 
     def _rebase(snap: dict, files: dict[str, set], anc: str | None) -> None:
         """Rewrite ``snap`` to resolve without its expired ancestry:
@@ -1313,12 +1329,22 @@ def equality_delete(
     tmp_root = os.path.join(out_dir, f"_eqdel_tmp-{cid}")
     delete_added: dict[str, list[str]] = {}
     summary: dict[str, int] = {}
+    head = current_snapshot_id(out_dir)
+    snaps = _load_by_id(out_dir)
     try:
         for t in tables:
-            rels = resolve_files(out_dir, t)
-            if not rels:
+            # harvest keys from the MASKED view, not the raw physical
+            # scan: a repeat takedown must not re-collect a key from an
+            # already-masked row at a NEWER sequence — that would mask a
+            # legitimately re-inserted row (code-review r5)
+            pending = _pending_deletes(snaps, head, t)
+            file_seq = _resolve_with_seq(snaps, head, t)
+            if not file_seq:
                 continue
-            scan = _scan_files(spark, out_dir, t, rels)
+            if pending:
+                scan = _apply_eq_deletes(spark, out_dir, t, file_seq, pending)
+            else:
+                scan = _scan_files(spark, out_dir, t, sorted(file_seq))
             hit = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
             matched = scan.where(hit).select(*keys).distinct()
             tmp_t = os.path.join(tmp_root, t)
@@ -1376,26 +1402,50 @@ def materialize_deletes(spark: SparkSession, out_dir: str, tables: tuple = TABLE
                 continue
             file_seq = _resolve_with_seq(snaps, head, t)
             delete_removed[t] = [d for d, _s in dels]
-            # probe per delete file: only files that HOLD a masked row
-            # are rewritten (applicable-but-clean files keep their
-            # physical identity) — null-safe to match the read-side mask
+            # probe: only files that HOLD a masked row are rewritten
+            # (applicable-but-clean files keep their physical identity).
+            # One scan per KEY SCHEMA, not per delete file — K same-key
+            # takedowns cost one pass, not K. Null-safe and missing-
+            # column-as-null to match the read-side mask exactly; a file
+            # the union over-flags (its only hits come from deletes newer
+            # than it) is rewritten content-identically — wasted IO, never
+            # wrong rows, since the rewrite itself applies only the
+            # per-file applicable deletes
             from functools import reduce
 
             from pyspark.sql import functions as F
 
-            hit: set[str] = set()
+            by_schema: dict[tuple, list] = {}
             for d_rel, dseq in dels:
-                cands = sorted(r for r, aseq in file_seq.items() if aseq < dseq)
+                kdf = spark.read.parquet(os.path.join(out_dir, d_rel))
+                by_schema.setdefault(tuple(kdf.columns), []).append((kdf, dseq))
+            hit: set[str] = set()
+            for cols, items in sorted(by_schema.items()):
+                max_seq = max(dseq for _k, dseq in items)
+                cands = sorted(r for r, aseq in file_seq.items() if aseq < max_seq)
                 if not cands:
                     continue
-                kdf = spark.read.parquet(os.path.join(out_dir, d_rel)).distinct()
-                tagged = _scan_files(spark, out_dir, t, cands).select(
-                    F.input_file_name().alias("_uri"), *kdf.columns
+                keys = items[0][0]
+                for kdf, _s in items[1:]:
+                    keys = keys.unionByName(kdf)
+                keys = keys.distinct()
+                scan = _scan_files(spark, out_dir, t, cands)
+                tagged = scan.select(
+                    F.input_file_name().alias("_uri"),
+                    *[c for c in cols if c in scan.columns],
                 )
+                for c, dtype in keys.dtypes:
+                    if c not in tagged.columns:
+                        tagged = tagged.withColumn(c, F.lit(None).cast(dtype))
                 cond = reduce(
-                    lambda a, b: a & b, [tagged[c].eqNullSafe(kdf[c]) for c in kdf.columns]
+                    lambda a, b: a & b, [tagged[c].eqNullSafe(keys[c]) for c in cols]
                 )
-                rows = tagged.join(kdf, cond, "left_semi").select("_uri").distinct().collect()
+                rows = (
+                    tagged.join(F.broadcast(keys), cond, "left_semi")
+                    .select("_uri")
+                    .distinct()
+                    .collect()
+                )
                 hit |= {_uri_to_rel(r["_uri"], out_dir) for r in rows}
             affected = sorted(hit)
             if not affected:

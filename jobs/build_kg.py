@@ -156,6 +156,12 @@ def main(argv: list[str] | None = None) -> int:
             "(use doc_sha and/or idspace; table-specific columns need the "
             "rewrite_data_files(tables=...) API)"
         )
+    if args.eq_delete_where and args.expire_snapshots is not None and not args.materialize_deletes:
+        ap.error(
+            "--eq-delete-where + --expire-snapshots needs --materialize-deletes: "
+            "expire refuses over the just-committed pending deletes, after the "
+            "whole batch already ran"
+        )
     # merge args are usage-validated BEFORE Spark starts (the repo's CLI
     # convention) — a typo'd table name must not burn a whole batch and
     # then swallow its metrics JSON on exit

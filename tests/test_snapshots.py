@@ -393,6 +393,11 @@ def test_build_kg_cli_flag_validation():
     with pytest.raises(SystemExit) as e:
         mod.main(["--synthetic", "5", "--out", "/tmp/x", "--rewrite-sort-by", "doc_sha"])
     assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        mod.main(["--synthetic", "5", "--out", "/tmp/x",
+                  "--eq-delete-where", "substring(doc_sha,1,1) < '8'",
+                  "--expire-snapshots", "1"])
+    assert e.value.code == 2
 
 
 def test_heal_does_not_resurrect_rolled_back_data(spark, corpus):
@@ -760,6 +765,55 @@ def test_equality_delete_merge_on_read(spark):
         assert S.remove_orphan_files(out, tables=("nodes",)) >= 1  # eqdel file reaped
         assert sorted((r["idspace"], r["x"]) for r in S.read_table_at(spark, out, "nodes").collect()) == head
         assert mid  # metadata table renders the eq-delete op
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_equality_delete_hardening(spark):
+    """Code-review r5 MoR contracts: (1) a repeat takedown harvests keys
+    from the MASKED view — a key matched only by an already-masked row
+    is not re-committed at a newer sequence, so the re-inserted row
+    survives; (2) a delete keyed on a schema-evolution column reads
+    missing columns as NULL (Iceberg's rule) instead of failing every
+    read; (3) history SPANNING an eq-delete→materialize pair expires
+    fine with a big-enough keep_last (interior deltas keep real
+    sequence numbers), with time travel into the masked era intact."""
+    out = tempfile.mkdtemp(prefix="snap_morh_")
+    try:
+        pre = S.list_data_files(out)
+        _write_batch(spark, out, [("A", 1), ("A", 10)])
+        s1, post1 = _commit_delta(out, pre)
+        S.equality_delete(spark, out, "x >= 10", keys=("x",), tables=("nodes",))
+        _write_batch(spark, out, [("C", 10)])
+        s2, post2 = _commit_delta(out, post1)
+
+        # (1) predicate matches ONLY rows already masked or (A,1):
+        # harvested keys must be {1}, never the masked row's 10
+        S.equality_delete(spark, out, "idspace = 'A'", keys=("x",), tables=("nodes",))
+        head = sorted((r["idspace"], r["x"]) for r in S.read_table_at(spark, out, "nodes").collect())
+        assert head == [("C", 10)], head
+
+        # (2) evolution column: new batch carries y; older files read
+        # y as NULL and stay unmasked — no AnalysisException
+        spark.createDataFrame([("D", 5, 9)], "idspace string, x int, y int").write.mode(
+            "append"
+        ).partitionBy("idspace").parquet(f"{out}/nodes")
+        _commit_delta(out, post2)
+        S.equality_delete(spark, out, "y = 9", keys=("y",), tables=("nodes",))
+        head = sorted((r["idspace"], r["x"]) for r in S.read_table_at(spark, out, "nodes").collect())
+        assert head == [("C", 10)], head
+
+        st = S.materialize_deletes(spark, out, tables=("nodes",))
+        assert st["files_rewritten"] >= 2
+        # (3) retain ALL history across the delete era and expire: the
+        # boundary (s1) has no pending deletes, interior eq-delete
+        # snapshots keep their sequences, time travel stays masked
+        S.expire_snapshots(out, keep_last=10)
+        assert sorted(
+            (r["idspace"], r["x"]) for r in S.read_table_at(spark, out, "nodes").collect()
+        ) == [("C", 10)]
+        tt = S.read_table_at(spark, out, "nodes", snapshot_id=s2["snapshot_id"])
+        assert sorted((r["idspace"], r["x"]) for r in tt.collect()) == [("A", 1), ("C", 10)]
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
