@@ -310,3 +310,25 @@ def test_merge_probe_in_filter_is_pushed(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
     assert "PushedFilters: [In(doc_sha" in plan, plan
+
+
+def test_mor_masked_read_plan(spark, tmp_path):
+    """The MoR masked read's null-safe anti-join must compile to a
+    BroadcastHashJoin (Spark normalizes <=> to coalesce+isnull hash
+    keys) — a BroadcastNestedLoopJoin here would be quadratic in the
+    masked table and defeat the read-cheap claim."""
+    import os
+
+    from fastobo_py_spark.plans import snapshots as S
+
+    out = str(tmp_path / "mor")
+    spark.createDataFrame(
+        [("A", i) for i in range(100)], "idspace string, x int"
+    ).write.partitionBy("idspace").parquet(os.path.join(out, "nodes"))
+    S.commit_snapshot(out, added={t: sorted(S.list_data_files(out)[t]) for t in S.TABLES})
+    S.equality_delete(spark, out, "x >= 90", keys=("x",), tables=("nodes",))
+    df = S.read_table_at(spark, out, "nodes")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert df.count() == 90
