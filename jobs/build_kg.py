@@ -14,6 +14,13 @@ Sandbox smoke::
 The job is resumable: every completed (repo, path, commit, sha256) row is
 recorded in ``<out>/_manifest``; a rerun anti-joins the corpus against it
 and only processes the remainder (plans/pipeline.py O19).
+
+Maintenance flags run in a FIXED order after the batch — publish-branch
+(so later ops apply to the published main), compact-outputs OR
+rewrite-data-files, delete-where, merge-into, eq-delete-where,
+materialize-deletes, expire-snapshots, remove-orphans, tag (last, so
+the pinned snapshot reflects every maintenance op of this run).
+Statically-fatal combinations are rejected before Spark starts.
 """
 
 from __future__ import annotations
