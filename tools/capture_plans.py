@@ -81,6 +81,23 @@ def main() -> None:
         "sort, no single-partition bottleneck)",
         pack_sequences(docs),
     )
+    from fastobo_py_spark.plans import snapshots as S
+
+    mor = tempfile.mkdtemp(prefix="plans_mor_")
+    spark.createDataFrame(
+        [("A", i) for i in range(100)], "idspace string, x int"
+    ).write.partitionBy("idspace").parquet(f"{mor}/nodes")
+    S.commit_snapshot(mor, added={t: sorted(S.list_data_files(mor)[t]) for t in S.TABLES})
+    S.equality_delete(spark, mor, "x >= 90", keys=("x",), tables=("nodes",))
+    show(
+        "Merge-on-read masked read (equality deletes): ONE BroadcastHashJoin "
+        "LeftAnti per delete key-schema — the null-safe key normalizes to "
+        "coalesce+isnull hash keys, never a nested loop; with no pending "
+        "deletes the plan is the plain single scan",
+        S.read_table_at(spark, mor, "nodes"),
+    )
+    shutil.rmtree(mor, ignore_errors=True)
+
     spark.stop()
     shutil.rmtree(d)
     with open("PLANS.md", "w") as fh:
