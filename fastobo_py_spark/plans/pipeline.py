@@ -28,18 +28,18 @@ import uuid
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from fastobo_py_spark.operators.canonicalize import apply_xref_macros, rewrite_edges
+from fastobo_py_spark.operators.canonicalize import rewrite_edges
 from fastobo_py_spark.operators.idents import edge_idspace
 from fastobo_py_spark.operators.materialize import build_nodes, with_salt
 from fastobo_py_spark.operators.parse import parse_corpus, split_parsed
-from fastobo_py_spark.operators.triples import extract_edges
 
 MANIFEST_COLS = ("doc_sha", "repo", "path", "commit")
 
-# the canonical-edge identity; the non-canonicalized path dedups on it
-# directly, the shuffle_hash chain dedups on the doc_key surrogate twin
-# (see _dedup_edges) — either way the clause cache is hash-partitioned on
-# its doc key once, and nothing downstream re-shuffles the edge table
+# the canonical-edge identity. BOTH pipeline paths dedup on its doc_key
+# surrogate twin (see _dedup_edges) — the clause cache is hash-partitioned
+# on doc_key once and nothing downstream re-shuffles the edge table; a
+# dropDuplicates on doc_sha here would re-exchange the whole table, since
+# doc_sha is no longer the cache's partitioning column (code-review r5)
 EDGE_KEY = ["subj", "pred", "obj", "doc_sha"]
 
 
@@ -443,7 +443,22 @@ def run_pipeline(
     if canonicalize:
         edges = canonical_edges(clauses, strategy="shuffle_hash", persisted_out=caches)
     else:
-        edges = apply_xref_macros(extract_edges(clauses), clauses).dropDuplicates(EDGE_KEY)
+        # same spine discipline as the canonical path: the cache is
+        # doc_key-partitioned, so the dedup aggregate must group on
+        # doc_key (a dropDuplicates on doc_sha would re-exchange the
+        # whole edge table — the column isn't in the cache partitioning
+        # anymore) and doc_sha is restored by the dictionary join
+        from fastobo_py_spark.operators.canonicalize import extract_edges_with_macros
+
+        macro_dims = clauses.where(
+            (F.col("frame_type") == "Header") | (F.col("tag") == "xref")
+        )
+        e = extract_edges_with_macros(
+            clauses, strategy="shuffle_hash", macro_source=macro_dims, key_col="doc_key"
+        )
+        edges = _dedup_edges(
+            e, key_col="doc_key", doc_dict=clauses.select("doc_key", "doc_sha").distinct()
+        )
     edges = edges.observe(obs["edges"], F.count(F.lit(1)).alias("n"))
     # clause observation rides the node build: its write is a guaranteed
     # FULL scan of the clause cache (a limit-style first action — e.g. the
@@ -633,6 +648,16 @@ def compact_outputs(
     from fastobo_py_spark.plans import snapshots as _snap
 
     _snap._refuse_pending_deletes(out_dir, tables, "compact_outputs")
+    branches = _snap.list_branches(out_dir)
+    if branches:
+        # a staged branch's part files sit physically inside the table
+        # leaves: the destructive rewrite would merge the UNAUDITED batch
+        # into main and strand the branch ref on deleted files
+        raise ValueError(
+            f"compact_outputs is destructive and would absorb/strand staged "
+            f"branches {sorted(branches)}; publish or delete them first, or use "
+            f"snapshots.rewrite_data_files"
+        )
     tags = _snap.list_tags(out_dir)
     if tags:
         raise ValueError(

@@ -581,13 +581,23 @@ def expire_snapshots(out_dir: str, keep_last: int = 1, tables: tuple = TABLES) -
     tagged_extra = []
     pinned_tags: dict[str, str] = {}
     pinned_branches: dict[str, str] = {}
-    for sid in sorted((set(tags.values()) | branch_heads) - kept_ids):
-        if sid not in snaps:
-            continue  # dangling ref; nothing to retain
+    # two passes: admit EVERY pin into kept_ids first, THEN search each
+    # branch head's ancestor — otherwise a branch whose ancestor is a
+    # pinned TAG would be rebased to a root or not depending on random
+    # snapshot-id sort order (code-review r5)
+    pin_sids = [
+        sid
+        for sid in sorted((set(tags.values()) | branch_heads) - kept_ids)
+        if sid in snaps  # dangling refs retain nothing
+    ]
+    for sid in pin_sids:
         _refuse_if_pending_at(sid, "pinned ref snapshot")
+        kept_ids.add(sid)
+    for sid in pin_sids:
         tfiles = {t: set(_resolve_from(snaps, sid, t)) for t in hist_tables}
-        # a branch head keeps its link to main: nearest ancestor on the
-        # kept chain (computed NOW, while the full ancestry is intact)
+        # a branch head keeps its link to the retained history: nearest
+        # KEPT ancestor (kept chain or another pin), computed NOW while
+        # the full ancestry is intact
         anc = None
         if sid in branch_heads:
             cur = snaps[sid]["parent_id"]
@@ -597,7 +607,6 @@ def expire_snapshots(out_dir: str, keep_last: int = 1, tables: tuple = TABLES) -
                     break
                 cur = snaps[cur]["parent_id"]
         tagged_extra.append((snaps[sid], tfiles, anc))
-        kept_ids.add(sid)
         pinned_tags.update({n: s for n, s in tags.items() if s == sid})
         pinned_branches.update({n: s for n, s in branches.items() if s == sid})
         for t in hist_tables:
@@ -982,12 +991,20 @@ def rewrite_data_files(
                 leaf_df = spark.read.option("mergeSchema", "true").parquet(
                     *[os.path.join(out_dir, r) for r in sorted(rels)]
                 )
-                if sort_by:
+                # partition-key columns live in the DIRECTORY name, not
+                # the leaf files (and are constant within a leaf — range-
+                # sorting by them is vacuous anyway): drop them from the
+                # effective sort order instead of failing analysis
+                leaf_keys = {
+                    seg.split("=", 1)[0] for seg in leaf_rel.split(os.sep) if "=" in seg
+                }
+                eff_sort = [c for c in (sort_by or []) if c not in leaf_keys]
+                if eff_sort:
                     from pyspark.sql import functions as F
 
                     leaf_df = leaf_df.repartitionByRange(
-                        int(n_out), *[F.col(c) for c in sort_by]
-                    ).sortWithinPartitions(*sort_by)
+                        int(n_out), *[F.col(c) for c in eff_sort]
+                    ).sortWithinPartitions(*eff_sort)
                 else:
                     leaf_df = leaf_df.repartition(int(n_out))
                 leaf_df.write.mode("overwrite").parquet(tmp)
@@ -1128,7 +1145,15 @@ def delete_where(
             # partition values live in the dir names, so partitionBy on
             # rewrite reproduces the same leaves
             part_cols = _part_cols_for(out_dir, t, affected[0])
-            keep = _scan_files(spark, out_dir, t, affected).where(~hit)
+            keep_scan = _scan_files(spark, out_dir, t, affected)
+            # the affected subset may be all pre-evolution files whose
+            # merged schema lacks a column the predicate references
+            # (phase 1 read it as NULL via the FULL file set) — backfill
+            # NULLs so the predicate resolves identically in phase 2
+            for c, dtype in scan.dtypes:
+                if c not in keep_scan.columns:
+                    keep_scan = keep_scan.withColumn(c, F.lit(None).cast(dtype))
+            keep = keep_scan.where(~hit)
             added[t] = _stage_and_adopt(keep, out_dir, t, part_cols, f"del{cid}", tmp_root)
             removed[t] = affected
             summary[f"{t}_deleted_rows"] = int(sum(r["count"] for r in per_file))

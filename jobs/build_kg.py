@@ -163,6 +163,13 @@ def main(argv: list[str] | None = None) -> int:
             "(use doc_sha and/or idspace; table-specific columns need the "
             "rewrite_data_files(tables=...) API)"
         )
+    if args.branch and args.tag and not args.publish_branch:
+        ap.error(
+            "--tag with --branch needs --publish-branch: the tag pins main "
+            "HEAD, which the staged batch never advances (on a fresh dir it "
+            "would crash after the whole batch; on an existing dir it would "
+            "silently tag the stale pre-batch snapshot)"
+        )
     if args.eq_delete_where and args.expire_snapshots is not None and not args.materialize_deletes:
         ap.error(
             "--eq-delete-where + --expire-snapshots needs --materialize-deletes: "

@@ -398,6 +398,9 @@ def test_build_kg_cli_flag_validation():
                   "--eq-delete-where", "substring(doc_sha,1,1) < '8'",
                   "--expire-snapshots", "1"])
     assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        mod.main(["--synthetic", "5", "--out", "/tmp/x", "--branch", "audit", "--tag", "prod"])
+    assert e.value.code == 2
 
 
 def test_heal_does_not_resurrect_rolled_back_data(spark, corpus):
@@ -765,6 +768,53 @@ def test_equality_delete_merge_on_read(spark):
         assert S.remove_orphan_files(out, tables=("nodes",)) >= 1  # eqdel file reaped
         assert sorted((r["idspace"], r["x"]) for r in S.read_table_at(spark, out, "nodes").collect()) == head
         assert mid  # metadata table renders the eq-delete op
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_cow_delete_and_sort_rewrite_evolution_edge_cases(spark):
+    """Fourth-pass review fixes: (1) a CoW delete whose predicate
+    references a schema-evolution column works even when every affected
+    file predates the column (phase 2 backfills NULLs like phase 1's
+    merged read); (2) rewrite sort_by tolerates partition-key columns
+    (constant within a leaf — dropped from the effective order instead
+    of failing analysis); (3) compact_outputs refuses over a staged
+    branch (it would absorb unaudited rows into main)."""
+    from fastobo_py_spark.plans.pipeline import compact_outputs
+
+    out = tempfile.mkdtemp(prefix="snap_evo_")
+    try:
+        pre = S.list_data_files(out)
+        _write_batch(spark, out, [("A", 1), ("A", 2)])
+        s1, post1 = _commit_delta(out, pre)
+        # evolution batch adds y
+        spark.createDataFrame([("B", 3, 7)], "idspace string, x int, y int").write.mode(
+            "append"
+        ).partitionBy("idspace").parquet(f"{out}/nodes")
+        s2, post2 = _commit_delta(out, post1)
+
+        # (1) predicate on y: affected = ONLY pre-evolution files (y NULL
+        # reads as matching 'y IS NULL'); their rescan must not fail
+        st = S.delete_where(spark, out, "y IS NULL AND x = 1", tables=("nodes",))
+        assert st["deleted_rows"] == 1
+        got = sorted((r["idspace"], r["x"]) for r in S.read_table_at(spark, out, "nodes").collect())
+        assert got == [("A", 2), ("B", 3)]
+
+        # (2) sort_by including the partition column neither crashes nor
+        # changes rows
+        st2 = S.rewrite_data_files(
+            spark, out, tables=("nodes",), max_parts=1024, sort_by=["idspace", "x"]
+        )
+        assert st2["leaves_rewritten"] >= 1
+        assert sorted(
+            (r["idspace"], r["x"]) for r in S.read_table_at(spark, out, "nodes").collect()
+        ) == got
+
+        # (3) destructive compaction refuses over a staged branch
+        _write_batch(spark, out, [("C", 9)])
+        _commit_delta(out, S.list_data_files(out), branch="wip")  # empty delta is fine
+        with pytest.raises(ValueError, match="staged branch"):
+            compact_outputs(spark, out, max_parts=0)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
