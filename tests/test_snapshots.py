@@ -1102,3 +1102,119 @@ def test_metadata_tables(spark):
         assert all(r["is_retained"] for r in refs.values())
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_snapshot_layer_random_walk_model(spark):
+    """Model-based random walk over the whole snapshot layer: a seeded
+    sequence of append / CoW delete / CoW merge / MoR delete /
+    materialize / rewrite(sort|binpack) / expire ops runs against a
+    pure-Python model of the visible row set. After every op the HEAD
+    read must equal the model; maintenance ops must refuse exactly when
+    the model says equality deletes are pending; after every expire,
+    every still-retained snapshot must read exactly what it read when it
+    committed. Two seeds x 24 ops — the interleavings no hand-written
+    test enumerates."""
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        out = tempfile.mkdtemp(prefix=f"snap_walk{seed}_")
+        try:
+            visible: list[tuple] = []
+            history: dict[str, list] = {}
+            pending = False
+
+            def append(rows):
+                nonlocal visible
+                pre = S.list_data_files(out)
+                _write_batch(spark, out, rows)
+                s, _ = _commit_delta(out, pre)
+                visible = visible + rows
+                history[s["snapshot_id"]] = sorted(visible)
+
+            append([(rng.choice("ABC"), rng.randrange(10)) for _ in range(3)])
+            for _step in range(24):
+                op = rng.choice(
+                    ["append", "append", "cow_delete", "merge", "eq_delete",
+                     "materialize", "rewrite", "expire"]
+                )
+                if op == "append":
+                    append([(rng.choice("ABC"), rng.randrange(10))
+                            for _ in range(rng.randrange(1, 4))])
+                elif op == "cow_delete":
+                    k = rng.randrange(10)
+                    if pending:
+                        with pytest.raises(ValueError, match="materialize"):
+                            S.delete_where(spark, out, f"x = {k}", tables=("nodes",))
+                    else:
+                        st = S.delete_where(spark, out, f"x = {k}", tables=("nodes",))
+                        visible = [r for r in visible if r[1] != k]
+                        if st["snapshot_id"]:
+                            history[st["snapshot_id"]] = sorted(visible)
+                elif op == "merge":
+                    rows = [(rng.choice("ABC"), rng.randrange(10))
+                            for _ in range(rng.randrange(1, 3))]
+                    src = spark.createDataFrame(rows, "idspace string, x int")
+                    if pending:
+                        with pytest.raises(ValueError, match="materialize"):
+                            S.merge_into(spark, out, "nodes", src, on="x")
+                    else:
+                        st = S.merge_into(spark, out, "nodes", src, on="x")
+                        xs = {x for _i, x in rows}
+                        visible = [r for r in visible if r[1] not in xs] + rows
+                        if st["snapshot_id"]:
+                            history[st["snapshot_id"]] = sorted(visible)
+                elif op == "eq_delete":
+                    k = rng.randrange(10)
+                    st = S.equality_delete(spark, out, f"x = {k}", keys=("x",), tables=("nodes",))
+                    if st["snapshot_id"]:
+                        pending = True
+                        visible = [r for r in visible if r[1] != k]
+                        history[st["snapshot_id"]] = sorted(visible)
+                elif op == "materialize":
+                    st = S.materialize_deletes(spark, out, tables=("nodes",))
+                    if st["snapshot_id"]:
+                        history[st["snapshot_id"]] = sorted(visible)
+                    pending = False
+                elif op == "rewrite":
+                    sort = rng.choice([None, ["x"]])
+                    if pending:
+                        with pytest.raises(ValueError, match="materialize"):
+                            S.rewrite_data_files(spark, out, tables=("nodes",),
+                                                 max_parts=0, sort_by=sort)
+                    else:
+                        st = S.rewrite_data_files(spark, out, tables=("nodes",),
+                                                  max_parts=0, sort_by=sort)
+                        if st.get("snapshot_id"):
+                            history[st["snapshot_id"]] = sorted(visible)
+                elif op == "expire":
+                    keep = rng.randrange(1, 4)
+                    if pending:
+                        # boundary may or may not carry the pending delete
+                        # depending on keep depth; accept either refusal or
+                        # success, then re-check every retained snapshot
+                        try:
+                            S.expire_snapshots(out, keep_last=keep)
+                        except ValueError as err:
+                            assert "pending equality deletes" in str(err)
+                    else:
+                        S.expire_snapshots(out, keep_last=keep)
+                    retained = {s["snapshot_id"] for s in S.list_snapshots(out)}
+                    for sid in list(history):
+                        if sid not in retained:
+                            del history[sid]
+                        else:
+                            got = sorted(
+                                (r["idspace"], r["x"])
+                                for r in S.read_table_at(spark, out, "nodes",
+                                                         snapshot_id=sid).collect()
+                            )
+                            assert got == history[sid], (seed, _step, sid)
+
+                got = sorted(
+                    (r["idspace"], r["x"])
+                    for r in S.read_table_at(spark, out, "nodes").collect()
+                )
+                assert got == sorted(visible), (seed, _step, op)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
