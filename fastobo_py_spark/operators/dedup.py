@@ -39,23 +39,12 @@ ROWS_PER_BAND = N_MINHASH // N_BANDS
 SHINGLE_K = 3
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure at least shuffle-partition-count input partitions.
-
-    The shingle/token explodes multiply rows 100-1000x but run pipelined
-    INSIDE the scan partitions — a small parquet input (one 128 MB-rule
-    partition) would serialize the whole dedup job on one core. At real
-    scale the scan already has >= shuffle partitions and this is a no-op;
-    below that, shuffling the (small by definition) input is trivial.
-    """
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    try:
-        # physical-plan partition count without df.rdd's Python-row
-        # serializer wrapping (which grafts an extra conversion plan)
-        n_in = df._jdf.queryExecution().toRdd().getNumPartitions()
-    except Exception:
-        n_in = df.rdd.getNumPartitions()
-    return df.repartition(n) if n_in < n else df
+# Ensure at least shuffle-partition-count input partitions before the
+# shingle/token explodes (they multiply rows 100-1000x but run pipelined
+# INSIDE the scan partitions — a small parquet input would serialize the
+# whole dedup job on one core; a no-op at real scale). Shared helper
+# since optimization r6: operators/spread.py.
+from fastobo_py_spark.operators.spread import spread as _spread  # noqa: E402
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
@@ -70,13 +59,37 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
 def shingles(col: Column, k: int = SHINGLE_K) -> Column:
     """Word k-shingles of normalized text (array<string>).
 
-    Built with sequence+transform so it stays inside codegen; documents
-    shorter than k words get their whole text as the single shingle.
+    Documents shorter than k words get their whole text as the single
+    shingle. NOTE (perf): the transform lambda is interpreted per element
+    and re-evaluates ``col``'s tokenization subtree — hot paths should
+    use :func:`shingle_rows`, which binds the token array to a column
+    behind an exchange barrier first (guide §4.1).
     """
     toks = F.split(normalize_text(col), " ")
     return F.when(F.size(toks) >= k, word_kgrams(toks, k)).otherwise(
         F.array(F.concat_ws(" ", toks))
     )
+
+
+def shingle_rows(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, sh) exploded word k-shingles — the hot-path shingler.
+
+    Two-stage shape (optimization r6): tokenize ONCE into a bound column,
+    spread the (small) token table to full width, then run the
+    interpreted k-gram transform against the bound column only. The
+    one-stage :func:`shingles`-over-text form re-evaluated
+    normalize+split per row inside the CodegenFallback HOF and ran the
+    whole explode on the scan's 1-row-group partitioning (measured 2.0s
+    -> 1.0s for the shingle stage at sf1). Output rows are identical.
+    """
+    from fastobo_py_spark.operators.spread import spread_by
+
+    toks = F.split(normalize_text(F.col("text")), " ")
+    base = spread_by(documents.select("doc_id", toks.alias("_toks")), "doc_id")
+    arr = F.when(F.size("_toks") >= k, word_kgrams(F.col("_toks"), k)).otherwise(
+        F.array(F.concat_ws(" ", F.col("_toks")))
+    )
+    return base.select("doc_id", F.explode(arr).alias("sh"))
 
 
 def minhash_signatures(documents: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
@@ -90,7 +103,7 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = N_MINHASH) -> DataF
     the aggregation: ``min`` is duplicate-insensitive, so one groupBy is
     the only exchange.
     """
-    sh = _spread(documents).select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
+    sh = shingle_rows(documents)
     md5 = F.md5(F.col("sh"))
     hashed = sh.select(
         "doc_id",
@@ -144,7 +157,13 @@ def _memo_signatures(documents: DataFrame) -> DataFrame:
     # est join a/b) — without a persist each branch re-runs the shingle
     # explode + 16 min-aggs (measured: 4x the signature cost); lazy
     # caches racing four consumers serialize on block locks anyway.
-    sigs = minhash_signatures(documents).persist()
+    # Cache at full width (optimization r6): AQE coalesces the ~8 MB
+    # groupBy output to ONE partition, which then serialized every
+    # downstream band projection and the hot-bucket pair fan-out (1.2M
+    # pairs at sf1) on one core; the explicit hash repartition pins the
+    # cached layout at shuffle-partition width for a trivial exchange.
+    n = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sigs = minhash_signatures(documents).repartition(n, "doc_id").persist()
     sigs.count()
     if key is not None:
         while len(_SIGS_CACHE) >= _SIGS_CACHE_MAX:
@@ -189,9 +208,7 @@ def ngram_jaccard_pairs(documents: DataFrame, min_jaccard: float = 0.0) -> DataF
     recall, exact Jaccard for precision.
     """
     cands = minhash_candidate_pairs(documents).select("doc_a", "doc_b")
-    sh = _spread(documents).select("doc_id", F.explode(shingles(F.col("text"))).alias("sh")).dropDuplicates(
-        ["doc_id", "sh"]
-    )
+    sh = shingle_rows(documents).dropDuplicates(["doc_id", "sh"])
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -217,18 +234,33 @@ def simhash(documents: DataFrame, n_bits: int = 60) -> DataFrame:
     ('0x'||substr(md5(t),1,15))::UBIGINT). Bit b of the fingerprint is set
     iff the sum over tokens of (bit_b(h) ? +1 : -1) is positive.
     """
+    # Restructured for scale (optimization r6, guide §2.3 "aggregate
+    # before you shuffle"): the original exploded every token x bit into
+    # n_bits rows (150M rows at sf1) through TWO aggregations. The per-bit
+    # balance s_b = sum_tok((h>>b & 1)*2 - 1) equals 2*c_b - n where
+    # c_b = sum_tok(h>>b & 1) and n = token count, so s_b > 0 iff
+    # 2*c_b > n — exact integer arithmetic, bit-identical fingerprints
+    # (the oracle SQL is unchanged and the entry-contract test pins it).
+    # One groupBy with 60 conditional-sum aggregates replaces the 60x
+    # row explode + second aggregation (measured noop 5.4s -> see
+    # OPTIMIZATION_r06.md).
     toks = _spread(documents).select(
         "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
     )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-    bits = (
-        toks.select("doc_id", h.alias("h"), F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"))
-        .select("doc_id", "bit", F.expr("(shiftright(h, bit) & 1) * 2 - 1").alias("w"))
-    )
-    per_bit = bits.groupBy("doc_id", "bit").agg(F.sum("w").alias("s"))
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))).alias("simhash")
-    )
+    hashed = toks.select("doc_id", h.alias("h"))
+    aggs = [F.count("*").alias("_n")] + [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"_c{b}")
+        for b in range(n_bits)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for b in range(n_bits):
+        term = F.when(2 * F.col(f"_c{b}") > F.col("_n"), F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return per_doc.select("doc_id", sim.alias("simhash"))
 
 
 def duplicate_clusters(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:

@@ -95,11 +95,55 @@ def dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return _fold_rows([a, b], lambda x, y: x * y, lambda z: z)
 
 
-# default cosine impl: the JVM-side fold (faster below ≈dim 1024 and
-# exactly the oracle SQL); test_cosine_udf_matches_hof pins the Arrow
-# variant bit-equal so high-dim callers can swap with no semantic drift
-_norm = _norm_hof
-_dot = _dot_hof
+# Codegen fast path (optimization r6, guide §4.1 "prefer built-ins"):
+# F.aggregate/zip_with are CodegenFallback — every element costs an
+# interpreted lambda dispatch. For a statically known dim the SAME
+# left-to-right fold unrolls into a flat arithmetic expression
+# ((0.0 + a1*b1) + a2*b2) + ... that whole-stage codegen compiles.
+# IEEE float addition is evaluated in the identical order, so results
+# are BIT-EQUAL to the HOF fold (pinned by test_cosine_fast_matches_hof);
+# null arrays and null elements poison to null in both (F.get returns
+# null out of range, null * x = null, null + x = null). Rows whose size
+# differs from the unrolled dim fall back to the interpreted HOF, so
+# semantics are unchanged for any input shape.
+FAST_DIMS = (64,)  # the embeddings tables' dim; extend when new corpora land
+
+
+def _chain_dot(a: Column, b: Column, dim: int) -> Column:
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + (F.get(a, i) * F.get(b, i))
+    return acc
+
+
+def _chain_sqnorm(v: Column, dim: int) -> Column:
+    acc = F.lit(0.0)
+    for i in range(dim):
+        x = F.get(v, i)
+        acc = acc + (x * x)
+    return acc
+
+
+def _norm_fast(v: Column) -> Column:
+    expr = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    for d in FAST_DIMS:
+        expr = F.when(F.size(v) == d, F.sqrt(_chain_sqnorm(v, d))).otherwise(expr)
+    return expr
+
+
+def _dot_fast(a: Column, b: Column) -> Column:
+    expr = _dot_hof(a, b)
+    for d in FAST_DIMS:
+        expr = F.when((F.size(a) == d) & (F.size(b) == d), _chain_dot(a, b, d)).otherwise(expr)
+    return expr
+
+
+# default cosine impl: the codegen-unrolled fold above (bit-equal to the
+# interpreted HOF spec, which stays the fallback for unlisted dims);
+# test_cosine_udf_matches_hof pins the Arrow variant bit-equal so
+# high-dim callers can swap with no semantic drift
+_norm = _norm_fast
+_dot = _dot_fast
 
 
 def brute_force_topk(
@@ -112,9 +156,18 @@ def brute_force_topk(
     ``queries`` is (query_id, q: array<double>). The query side broadcasts;
     the corpus is scanned once. Ties broken by neighbor_id for determinism.
     """
-    corp = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").cast("array<double>").alias("v"),
+    from fastobo_py_spark.operators.spread import spread_by
+
+    # spread the corpus scan (guide §2.5/§6): the broadcast-nested-loop
+    # cosine fan-out runs fused with the scan, and the driver tables have
+    # 1 row group — without this every (corpus x query) cosine computes
+    # in ONE task; a no-op at real scale
+    corp = spread_by(
+        embeddings.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        ),
+        "neighbor_id",
     ).withColumn("nrm", _norm(F.col("v")))
     q = queries.withColumn("qnrm", _norm(F.col("q")))
     joined = corp.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
@@ -171,6 +224,16 @@ def signature_udf(n_planes: int, seed: int = 7):
     matmul.
     """
 
+    # heavyweight init once per task, not per batch (guide §4.5): the
+    # Arrow batch size is tuned small for the whole-document parse UDF,
+    # so without this the RandomState rebuild ran per 16-row batch
+    _w_cache: dict = {}
+
+    def _weights(dim: int) -> "np.ndarray":
+        if dim not in _w_cache:
+            _w_cache[dim] = hyperplane_weights(dim, n_planes, seed)
+        return _w_cache[dim]
+
     @pandas_udf("string")
     def sig(v: pd.Series) -> pd.Series:
         if len(v) == 0:
@@ -181,7 +244,7 @@ def signature_udf(n_planes: int, seed: int = 7):
         lens = {len(x) for x in v if x is not None}
         if len(lens) == 1 and not any(x is None for x in v):
             mat = np.stack(v.to_numpy())
-            bits = mat @ hyperplane_weights(mat.shape[1], n_planes, seed) >= 0
+            bits = mat @ _weights(mat.shape[1]) >= 0
             return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
         out = []
         dim = _ragged_ref_dim(len(x) for x in v if x is not None)
@@ -189,7 +252,7 @@ def signature_udf(n_planes: int, seed: int = 7):
             if x is None or len(x) != dim:
                 out.append(None)
                 continue
-            row = np.asarray(x, dtype="float64") @ hyperplane_weights(dim, n_planes, seed) >= 0
+            row = np.asarray(x, dtype="float64") @ _weights(dim) >= 0
             out.append("".join("1" if b else "0" for b in row))
         return pd.Series(out, dtype="object")
 
@@ -203,8 +266,13 @@ def lsh_bucketed_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5, n_
     # norms computed ONCE per vector as columns (the brute-force shape):
     # folding them inside the pair expression re-paid an O(dim) norm per
     # candidate — a bucket with B members cost B redundant folds/vector
+    from fastobo_py_spark.operators.spread import spread_by
+
     e = (
-        embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        spread_by(
+            embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+            "vec_id",
+        )
         .withColumn("bucket", signature_udf(n_planes, seed)(F.col("v")))
         .withColumn("nrm", _norm(F.col("v")))
     )
@@ -318,6 +386,10 @@ def cells_udf(n_cells: int, nprobe: int, seed: int = 11, anchors: "np.ndarray | 
         if anchors.shape[0] != n_cells:
             raise ValueError(f"anchors has {anchors.shape[0]} rows, expected n_cells={n_cells}")
 
+    # per-task anchor cache (guide §4.5) — seeded anchors otherwise
+    # regenerate per 16-row Arrow batch
+    _a_cache: dict = {}
+
     @pandas_udf("array<int>")
     def cells(v: pd.Series) -> pd.Series:
         if len(v) == 0:
@@ -326,7 +398,9 @@ def cells_udf(n_cells: int, nprobe: int, seed: int = 11, anchors: "np.ndarray | 
         def _anchors_for(dim: int):
             if anchors is not None:
                 return anchors if anchors.shape[1] == dim else None
-            return ivf_anchors(dim, n_cells, seed)
+            if dim not in _a_cache:
+                _a_cache[dim] = ivf_anchors(dim, n_cells, seed)
+            return _a_cache[dim]
 
         # same null/ragged policy as signature_udf: NULL cells, no crash
         lens = {len(x) for x in v if x is not None}
@@ -376,8 +450,13 @@ def ivf_topk(
 
     ``anchors`` swaps the seeded-random quantizer for trained centroids
     (:func:`train_ivf_anchors`); the DataFrame program is unchanged."""
+    from fastobo_py_spark.operators.spread import spread_by
+
     e = (
-        embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        spread_by(
+            embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+            "vec_id",
+        )
         .withColumn("cell", F.element_at(cells_udf(n_cells, 1, seed, anchors)(F.col("v")), 1))
         .withColumn("nrm", _norm(F.col("v")))
     )

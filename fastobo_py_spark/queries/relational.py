@@ -113,8 +113,19 @@ ORDER BY r_name, n_name
 
 
 def q_orders_topk_window(spark: SparkSession, sf: str) -> DataFrame:
-    """Window top-k: 3 priciest orders per priority (O17 pattern)."""
-    orders = load_table(spark, sf, "orders")
+    """Window top-k: 3 priciest orders per priority (O17 pattern).
+
+    The partial WindowGroupLimit (top-3 per priority per partition) runs
+    fused with the scan; the driver parquet has 2 row groups, so without
+    spreading, two tasks sort the whole table (guide §2.5 input skew).
+    spread_by is a no-op at real scale and does not change row_number
+    output (ties broken by o_orderkey)."""
+    from fastobo_py_spark.operators.spread import spread_by
+
+    orders = spread_by(
+        load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        "o_orderkey",
+    )
     w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
         orders.withColumn("rank", F.row_number().over(w))

@@ -67,13 +67,21 @@ ORDER BY doc_id
 def q_text_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """Token budgeting + internal-repetition profile: whitespace tokens,
     BPE-ish pre-tokenizer tokens, and Gopher-style 3-gram repetition."""
+    from fastobo_py_spark.operators.spread import spread_by
+
     docs = load_table(spark, sf, "documents")
     t = F.col("text")
-    return docs.select(
+    # bind the normalized token array once (the k-gram transform is an
+    # interpreted HOF that otherwise re-tokenizes per element, guide §4.1)
+    # and spread the 1-row-group scan to full width
+    base = spread_by(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", "text", X.tokens(X.normalize_text(t)).alias("_ntoks")
+    )
+    return base.select(
         "doc_id",
         X.token_count(t).alias("n_ws_tokens"),
         X.bpe_token_count(t).alias("n_bpe_tokens"),
-        X.ngram_repetition_ppm(t, 3).alias("rep3_ppm"),
+        X.ngram_repetition_ppm_arr(F.col("_ntoks"), 3).alias("rep3_ppm"),
     ).orderBy("doc_id")
 
 
