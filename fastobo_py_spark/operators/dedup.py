@@ -234,33 +234,28 @@ def simhash(documents: DataFrame, n_bits: int = 60) -> DataFrame:
     ('0x'||substr(md5(t),1,15))::UBIGINT). Bit b of the fingerprint is set
     iff the sum over tokens of (bit_b(h) ? +1 : -1) is positive.
     """
-    # Restructured for scale (optimization r6, guide §2.3 "aggregate
-    # before you shuffle"): the original exploded every token x bit into
-    # n_bits rows (150M rows at sf1) through TWO aggregations. The per-bit
-    # balance s_b = sum_tok((h>>b & 1)*2 - 1) equals 2*c_b - n where
-    # c_b = sum_tok(h>>b & 1) and n = token count, so s_b > 0 iff
-    # 2*c_b > n — exact integer arithmetic, bit-identical fingerprints
-    # (the oracle SQL is unchanged and the entry-contract test pins it).
-    # One groupBy with 60 conditional-sum aggregates replaces the 60x
-    # row explode + second aggregation (measured noop 5.4s -> see
-    # OPTIMIZATION_r06.md).
+    # Shape note (optimization r6, measured): a one-aggregation variant
+    # (60 conditional-sum aggregates, s_b > 0 iff 2*c_b > n — exact
+    # integer equivalence, verified bit-identical) halves EXECUTION at
+    # sf1 (noop 5.4s -> 2.3s) by removing the token x bit row explode,
+    # but the 61-aggregate plan costs ~0.4-0.9s of driver-side
+    # analysis/optimization PER INVOCATION (measured plan-only 0.91s vs
+    # 0.09s), which dominates at bench volumes and regresses the timed
+    # query. Planning amortizes over hours at 100 TB, where the wide-agg
+    # shape wins; at this repo's measured scales the exploded two-level
+    # aggregation below is the faster end-to-end plan, so it stays.
     toks = _spread(documents).select(
         "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
     )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-    hashed = toks.select("doc_id", h.alias("h"))
-    aggs = [F.count("*").alias("_n")] + [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"_c{b}")
-        for b in range(n_bits)
-    ]
-    per_doc = hashed.groupBy("doc_id").agg(*aggs)
-    sim = None
-    for b in range(n_bits):
-        term = F.when(2 * F.col(f"_c{b}") > F.col("_n"), F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sim = term if sim is None else sim + term
-    return per_doc.select("doc_id", sim.alias("simhash"))
+    bits = (
+        toks.select("doc_id", h.alias("h"), F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"))
+        .select("doc_id", "bit", F.expr("(shiftright(h, bit) & 1) * 2 - 1").alias("w"))
+    )
+    per_bit = bits.groupBy("doc_id", "bit").agg(F.sum("w").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))).alias("simhash")
+    )
 
 
 def duplicate_clusters(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
