@@ -74,22 +74,39 @@ def shingles(col: Column, k: int = SHINGLE_K) -> Column:
 def shingle_rows(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     """(doc_id, sh) exploded word k-shingles — the hot-path shingler.
 
-    Two-stage shape (optimization r6): tokenize ONCE into a bound column,
-    spread the (small) token table to full width, then run the
-    interpreted k-gram transform against the bound column only. The
-    one-stage :func:`shingles`-over-text form re-evaluated
-    normalize+split per row inside the CodegenFallback HOF and ran the
-    whole explode on the scan's 1-row-group partitioning (measured 2.0s
-    -> 1.0s for the shingle stage at sf1). Output rows are identical.
+    Fully codegen shape (optimization r6, guide §4.1 "prefer built-ins"):
+    spread the (narrow) raw-text scan, tokenize ONCE into a bound column
+    behind the exchange, then explode POSITIONS (``sequence(0, n-k)``)
+    and build each gram with ``concat(get(toks, p), ' ', ...)`` — every
+    expression whole-stage-codegen-compiles, unlike the previous
+    ``transform``-HOF form whose lambda was interpreted per element
+    (CodegenFallback). Measured at sf1: signature build 2.7s -> 1.5s
+    cold. Short docs (n < k) take the single whole-text shingle via the
+    ``greatest``-clamped one-row sequence; null/empty text yields one ''
+    row exactly as before (verified multiset-equal on sf0.01 + edge
+    fixtures). Output rows are identical.
     """
     from fastobo_py_spark.operators.spread import spread_by
 
     toks = F.split(normalize_text(F.col("text")), " ")
-    base = spread_by(documents.select("doc_id", toks.alias("_toks")), "doc_id")
-    arr = F.when(F.size("_toks") >= k, word_kgrams(F.col("_toks"), k)).otherwise(
-        F.array(F.concat_ws(" ", F.col("_toks")))
+    base = spread_by(documents.select("doc_id", "text"), "doc_id").select(
+        "doc_id", toks.alias("_toks")
     )
-    return base.select("doc_id", F.explode(arr).alias("sh"))
+    n = F.size("_toks")
+    rows = base.select(
+        "doc_id",
+        "_toks",
+        F.explode(F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))).alias("_p"),
+    )
+    parts: list = []
+    for j in range(k):
+        if j:
+            parts.append(F.lit(" "))
+        parts.append(F.get(F.col("_toks"), F.col("_p") + F.lit(j) if j else F.col("_p")))
+    gram = F.when(F.size("_toks") >= k, F.concat(*parts)).otherwise(
+        F.concat_ws(" ", F.col("_toks"))
+    )
+    return rows.select("doc_id", gram.alias("sh"))
 
 
 def minhash_signatures(documents: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
@@ -164,7 +181,7 @@ def _memo_signatures(documents: DataFrame) -> DataFrame:
     # cached layout at shuffle-partition width for a trivial exchange.
     n = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     sigs = minhash_signatures(documents).repartition(n, "doc_id").persist()
-    sigs.count()
+    sigs._known_rows = sigs.count()  # free gated_broadcast stamp (hints.py)
     if key is not None:
         while len(_SIGS_CACHE) >= _SIGS_CACHE_MAX:
             old = _SIGS_CACHE.pop(next(iter(_SIGS_CACHE)))
@@ -179,24 +196,41 @@ def _memo_signatures(documents: DataFrame) -> DataFrame:
 def minhash_candidate_pairs(documents: DataFrame) -> DataFrame:
     """(doc_a, doc_b, est_jaccard): pairs sharing >=1 LSH band, with the
     signature-agreement estimate. doc_a < doc_b; distinct."""
+    from fastobo_py_spark.operators.hints import gated_broadcast
+
     sigs = _memo_signatures(documents)
+    known = getattr(sigs, "_known_rows", None)
     bands = lsh_bands(sigs)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band_ix", "band_hash")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band_ix", "band_hash")
+    # the band self-join stays a shuffle join: an A/B at sf1 (200k band
+    # rows, 1.5M pairs out) measured broadcast 0.45s vs shuffle 0.39s —
+    # the bucket fan-out, not the exchange, is the cost here
     pairs = (
         left.join(right, ["band_ix", "band_hash"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .dropDuplicates()
     )
+    # est joins BROADCAST the signature table when it is bounded
+    # (optimization r6, guide §3.1): the candidate-pair table is the big
+    # side here (measured 1.5M pairs at sf1 vs 50k signature rows), and
+    # the shuffle joins exchanged it twice carrying 16 BIGINT columns
+    # (~200 MB). The row count is already known from the memo's eager
+    # fill, so the gate costs nothing; above the threshold (sig tables
+    # that cannot broadcast at 100 TB) the join falls back to the
+    # pair-side shuffle exactly as before.
     sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_MINHASH)])
     sb = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_MINHASH)])
+    if known is not None:
+        sa._known_rows = known
+        sb._known_rows = known
     est = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_MINHASH)
     ) / F.lit(float(N_MINHASH))
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(gated_broadcast(sa), "doc_a")
+        .join(gated_broadcast(sb), "doc_b")
         .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
     )
 

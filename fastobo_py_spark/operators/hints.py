@@ -31,14 +31,46 @@ def known_rows(df: DataFrame, n: int) -> DataFrame:
     return df
 
 
+def _footer_rows(df: DataFrame) -> int | None:
+    """Exact row count from parquet footers for a bare, unfiltered scan —
+    no Spark job (optimization r6, guide §1/§5: the probe count was a
+    full job submission per gated call on the query hot path). Returns
+    None unless the optimized plan is a single parquet Relation (any
+    Filter/Project could make the footer total an over-count, which
+    must not decide a broadcast the probe would have rejected — though
+    over-counts could only ever SKIP a broadcast, we only use exact
+    numbers). Driver-side footer reads are the same metadata Spark's
+    own planning touches; at real scale the catalog/manifest supplies
+    this number for free."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        lines = [ln for ln in plan.toString().splitlines() if ln.strip()]
+        if len(lines) != 1 or not lines[0].startswith("Relation") or "parquet" not in lines[0]:
+            return None
+        files = df.inputFiles()
+        if not files or len(files) > 256:
+            return None
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            total += pq.ParquetFile(f.removeprefix("file:")).metadata.num_rows
+        return total
+    except Exception:
+        return None
+
+
 def gated_broadcast(df: DataFrame, threshold: int | None = None) -> DataFrame:
     """``F.broadcast(df)`` iff its row count is ≤ threshold, else ``df``.
 
     Row count comes from a ``known_rows`` stamp when present (free), else
-    from one bounded count probe (``limit(threshold+1).count()``).
+    from parquet footer metadata for bare scans (free, no job), else from
+    one bounded count probe (``limit(threshold+1).count()``).
     """
     t = BROADCAST_ROW_THRESHOLD if threshold is None else threshold
     n = getattr(df, "_known_rows", None)
+    if n is None:
+        n = _footer_rows(df)
     if n is None:
         n = df.limit(t + 1).count()
     return F.broadcast(df) if n <= t else df

@@ -138,12 +138,18 @@ def _dot_fast(a: Column, b: Column) -> Column:
     return expr
 
 
-# default cosine impl: the codegen-unrolled fold above (bit-equal to the
-# interpreted HOF spec, which stays the fallback for unlisted dims);
-# test_cosine_udf_matches_hof pins the Arrow variant bit-equal so
-# high-dim callers can swap with no semantic drift
-_norm = _norm_fast
-_dot = _dot_fast
+# default cosine impl: the interpreted HOF fold. The codegen-unrolled
+# chain above is bit-equal (pinned by test_cosine_chain_matches_hof) and
+# its generated loop body runs at the same speed at dim 64 (measured
+# 0.389s noop both over 400k pairs at sf1), but CONSTRUCTING it costs
+# ~0.5s of py4j round trips per invocation (~800 Column calls) plus a
+# first-run janino compile of the giant method — full ann_bruteforce
+# cold 2.5s (chain) vs 1.75s (HOF), warm 1.3s vs 0.8s (optimization r6
+# re-measurement, fresh session each). The chain stays available for
+# call sites that build the expression once and reuse it; the Arrow
+# kernels (norm_udf/dot_udf, bit-equal) take over past ≈dim 1024.
+_norm = _norm_hof
+_dot = _dot_hof
 
 
 def brute_force_topk(

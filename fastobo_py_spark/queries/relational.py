@@ -91,7 +91,16 @@ def q_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
     supplier = gated_broadcast(load_table(spark, sf, "supplier"))
     customer = load_table(spark, sf, "customer")
     orders = load_table(spark, sf, "orders").hint("shuffle_hash")
-    li = load_table(spark, sf, "lineitem")
+    # project the revenue product BEFORE the one big exchange (guide
+    # §2.3 "shuffle fewer bytes"): the join shuffles (key, suppkey, rev)
+    # = 24 B/row instead of price+discount = 32 B/row, and the
+    # multiplication runs once scan-side. The sum sees the identical
+    # multiset of products, so results are unchanged.
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+    )
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(customer, orders["o_custkey"] == customer["c_custkey"])
@@ -99,7 +108,7 @@ def q_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
         .join(region, nation["n_regionkey"] == region["r_regionkey"])
         .groupBy("r_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum("_rev"), 2).alias("revenue"))
         .orderBy("r_name", "n_name")
     )
 

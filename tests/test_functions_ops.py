@@ -485,6 +485,55 @@ def test_cosine_udf_edge_semantics(spark):
     assert {k: v[0] for k, v in got.items()} == hof
 
 
+def test_cosine_chain_matches_hof(spark):
+    """The codegen-unrolled chain fold (FAST_DIMS fast path) must equal
+    the interpreted HOF fold BIT-FOR-BIT — it evaluates IEEE additions in
+    the identical left-to-right order — including the fallback for rows
+    whose size is not an unrolled dim."""
+    from fastobo_py_spark.operators.similarity import (
+        FAST_DIMS,
+        _dot_fast,
+        _dot_hof,
+        _norm_fast,
+        _norm_hof,
+    )
+
+    d = FAST_DIMS[0]
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .limit(64)
+    )
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib")).limit(500)
+    bad = (
+        pairs.select(
+            (_norm_fast(F.col("va")) == _norm_hof(F.col("va"))).alias("n_eq"),
+            (_dot_fast(F.col("va"), F.col("vb")) == _dot_hof(F.col("va"), F.col("vb"))).alias("d_eq"),
+        )
+        .where(~F.col("n_eq") | ~F.col("d_eq"))
+        .count()
+    )
+    assert bad == 0
+    # non-unrolled dim falls back to the HOF branch: still equal
+    short = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]), (2, None, [1.0]), (3, [], [])],
+        "id long, a array<double>, b array<double>",
+    )
+    assert d not in (3, 0)
+    rows = short.select(
+        "id",
+        (_norm_fast(F.col("a"))).alias("nf"),
+        (_norm_hof(F.col("a"))).alias("nh"),
+        (_dot_fast(F.col("a"), F.col("b"))).alias("df_"),
+        (_dot_hof(F.col("a"), F.col("b"))).alias("dh"),
+    ).collect()
+    for r in rows:
+        assert r["nf"] == r["nh"]
+        assert r["df_"] == r["dh"]
+
+
 def test_ragged_batch_malformed_row_is_isolated(spark):
     """One over-length malformed vector in a batch must NOT null-bucket
     the normal-dim vectors sharing its Arrow batch (ADVICE r4): the
