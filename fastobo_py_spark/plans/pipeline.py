@@ -434,14 +434,23 @@ def run_pipeline(
     # downstream (the canonical chain's joins and final dedup, the node
     # build, the decode dictionary) is satisfied without re-shuffling —
     # and the partitioner hashes 8 bytes instead of the 64-hex doc_sha
-    from fastobo_py_spark.operators.surrogate import with_doc_key
+    from fastobo_py_spark.operators import surrogate as _surrogate
 
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    clauses = with_doc_key(clauses).repartition(n_shuffle, "doc_key").persist()
+    clauses = _surrogate.with_doc_key(clauses).repartition(n_shuffle, "doc_key").persist()
+
+    # surrogate-key audit (ADVICE r5): a 64-bit doc_key collision would
+    # silently merge two documents' edge scopes. The audit is one
+    # exchange-free aggregate over the just-persisted cache; when it
+    # fires, this batch falls back to the exact string spine
+    # (strategy='auto' — the oracle-pinned twin), and the count is
+    # surfaced in the metrics dict either way.
+    n_key_collisions = _surrogate.audit_doc_keys(clauses).count()
+    spine_strategy = "shuffle_hash" if n_key_collisions == 0 else "auto"
 
     caches: list[DataFrame] = []
     if canonicalize:
-        edges = canonical_edges(clauses, strategy="shuffle_hash", persisted_out=caches)
+        edges = canonical_edges(clauses, strategy=spine_strategy, persisted_out=caches)
     else:
         # same spine discipline as the canonical path: the cache is
         # doc_key-partitioned, so the dedup aggregate must group on
@@ -453,12 +462,20 @@ def run_pipeline(
         macro_dims = clauses.where(
             (F.col("frame_type") == "Header") | (F.col("tag") == "xref")
         )
+        # audit fallback mirrors the canonical path: on a collision the
+        # extraction and dedup key on the exact doc_sha (the joins then
+        # re-exchange — the documented cost of a corpus where the
+        # surrogate is not injective)
+        raw_key = "doc_key" if n_key_collisions == 0 else "doc_sha"
         e = extract_edges_with_macros(
-            clauses, strategy="shuffle_hash", macro_source=macro_dims, key_col="doc_key"
+            clauses, strategy="shuffle_hash", macro_source=macro_dims, key_col=raw_key
         )
-        edges = _dedup_edges(
-            e, key_col="doc_key", doc_dict=clauses.select("doc_key", "doc_sha").distinct()
-        )
+        if raw_key == "doc_key":
+            edges = _dedup_edges(
+                e, key_col="doc_key", doc_dict=clauses.select("doc_key", "doc_sha").distinct()
+            )
+        else:
+            edges = _dedup_edges(e)
     edges = edges.observe(obs["edges"], F.count(F.lit(1)).alias("n"))
     # clause observation rides the node build: its write is a guaranteed
     # FULL scan of the clause cache (a limit-style first action — e.g. the
@@ -511,6 +528,8 @@ def run_pipeline(
         "quarantined_docs": obs["quarantine"].get["n"],
         "edges": obs["edges"].get["n"],
         "nodes": obs["nodes"].get["n"],
+        "doc_key_collisions": n_key_collisions,
+        "spine_strategy": spine_strategy if canonicalize else raw_key,
         "manifest_compaction": compaction,
         "snapshot_id": snapshot["snapshot_id"],
         "snapshot_sequence": snapshot["sequence"],

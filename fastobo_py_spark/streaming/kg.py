@@ -48,11 +48,18 @@ def _process_batch(out_dir: str, n_salts: int):
             # same cache contract as the batch pipeline: BIGINT doc_key
             # surrogate spine (deterministic xxhash64, so micro-batches
             # agree with earlier output), hash-partitioned on it
-            from fastobo_py_spark.operators.surrogate import with_doc_key
+            from fastobo_py_spark.operators import surrogate as _surrogate
 
-            clauses = with_doc_key(clauses).repartition(n_shuffle, "doc_key").persist()
+            clauses = _surrogate.with_doc_key(clauses).repartition(n_shuffle, "doc_key").persist()
             caches.append(clauses)
-            edges = canonical_edges(clauses, strategy="shuffle_hash", persisted_out=caches)
+            # surrogate-key audit per micro-batch (ADVICE r5): one
+            # exchange-free aggregate over the cached batch; a colliding
+            # batch falls back to the exact string spine so its output
+            # is correct, matching run_pipeline's policy
+            strategy = (
+                "shuffle_hash" if _surrogate.audit_doc_keys(clauses).count() == 0 else "auto"
+            )
+            edges = canonical_edges(clauses, strategy=strategy, persisted_out=caches)
             nodes = build_nodes(clauses)
             nodes.write.mode("append").partitionBy("idspace").parquet(os.path.join(out_dir, "nodes"))
             with_salt(edges, "subj", n_salts).write.mode("append").partitionBy("idspace", "salt").parquet(

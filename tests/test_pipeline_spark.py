@@ -137,6 +137,40 @@ def test_pipeline_resume(spark, corpus):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_pipeline_doc_key_audit_fallback(spark, corpus, monkeypatch):
+    """run_pipeline audits the surrogate spine every batch (ADVICE r5):
+    a clean corpus records zero collisions and keeps the doc_key spine;
+    a (forced) collision report flips the batch to the exact string
+    spine, with BIT-IDENTICAL edge output either way."""
+    from fastobo_py_spark.operators import surrogate
+    from fastobo_py_spark.plans.pipeline import run_pipeline
+
+    out1 = tempfile.mkdtemp(prefix="kg_audit_clean_")
+    out2 = tempfile.mkdtemp(prefix="kg_audit_coll_")
+    try:
+        m1 = run_pipeline(spark, corpus, out1)
+        assert m1["doc_key_collisions"] == 0
+        assert m1["spine_strategy"] == "shuffle_hash"
+
+        def fake_audit(clauses):
+            return clauses.sparkSession.createDataFrame(
+                [(7, 2, ["sha_a", "sha_b"])],
+                "doc_key long, n_docs long, doc_shas array<string>",
+            )
+
+        monkeypatch.setattr(surrogate, "audit_doc_keys", fake_audit)
+        m2 = run_pipeline(spark, corpus, out2)
+        assert m2["doc_key_collisions"] == 1
+        assert m2["spine_strategy"] == "auto"
+        cols = ["subj", "pred", "obj", "src_tag", "doc_sha"]
+        e1 = {tuple(r) for r in spark.read.parquet(out1 + "/edges").select(*cols).collect()}
+        e2 = {tuple(r) for r in spark.read.parquet(out2 + "/edges").select(*cols).collect()}
+        assert e1 == e2 and len(e1) > 0
+    finally:
+        shutil.rmtree(out1, ignore_errors=True)
+        shutil.rmtree(out2, ignore_errors=True)
+
+
 def test_spark_serializer_roundtrip(spark, clauses, corpus_rows):
     """Distributed serialize → reparse == original clause rows."""
     import hashlib
