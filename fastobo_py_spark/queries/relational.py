@@ -231,11 +231,18 @@ ORDER BY 1, 2
 
 
 def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
-    """Gap-based sessionization (30 min) — lag + cumulative sum windows."""
+    """Gap-based sessionization (30 min) — lag + cumulative sum windows.
+
+    The lag runs over ``ts`` itself and converts to micros AFTER the
+    window (optimization r6, guide §2.3): the planner was extracting the
+    pre-computed epoch column below the exchange, shipping an extra 8
+    B/row; unix_micros is an exact monotone bijection on timestamps, so
+    lag/max/min commute with it and every value is unchanged."""
     ev = load_table(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    gap = F.when(us - F.lag(us, 1).over(w) > 1800 * 1_000_000, 1).otherwise(0)
+    lag_us = F.unix_micros(F.lag(F.col("ts"), 1).over(w).cast("timestamp"))
+    gap = F.when(us - lag_us > 1800 * 1_000_000, 1).otherwise(0)
     sess = ev.withColumn("new_sess", F.coalesce(gap, F.lit(0))).withColumn(
         "session_ix", F.sum("new_sess").over(w)
     )
@@ -243,7 +250,7 @@ def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
         sess.groupBy("user_id", "session_ix")
         .agg(
             F.count("*").alias("n_events"),
-            (F.max(us) - F.min(us)).alias("duration_us"),
+            (F.unix_micros(F.max("ts").cast("timestamp")) - F.unix_micros(F.min("ts").cast("timestamp"))).alias("duration_us"),
         )
         .orderBy("user_id", "session_ix")
     )
