@@ -663,6 +663,26 @@ def expire_snapshots(out_dir: str, keep_last: int = 1, tables: tuple = TABLES) -
         for rel in sorted(on_disk[t] - keep_files[t]):
             os.remove(os.path.join(out_dir, rel))
             deleted += 1
+    # equality-delete KEY files referenced by no retained snapshot go too
+    # (ADVICE r5): rebased snapshots drop their delete_added fields and
+    # expired ones are gone, so the _eq_deletes/ parquet files — which
+    # enumerate the taken-down keys — would otherwise linger readable
+    # until a separate remove_orphan_files run, leaving the takedown
+    # recipe (materialize_deletes + expire_snapshots) incomplete.
+    # Read the RETAINED snapshots back from disk: they are the rewritten,
+    # post-rebase truth.
+    del_referenced: set[str] = set()
+    for s in list_snapshots(out_dir):
+        for fs in s.get("delete_added", {}).values():
+            del_referenced |= set(fs)
+    eq_root = os.path.join(out_dir, EQ_DELETE_DIR)
+    if os.path.isdir(eq_root):
+        for dirpath, _dirnames, files in os.walk(eq_root):
+            for f in files:
+                rel = os.path.relpath(os.path.join(dirpath, f), out_dir)
+                if f.endswith(".parquet") and rel not in del_referenced:
+                    os.remove(os.path.join(dirpath, f))
+                    deleted += 1
     # pinned_tags is the compliance signal a physical purge must read:
     # these tags kept their snapshots' files on disk and readable — an
     # INCOMPLETE takedown until the tags are deleted/moved and expire

@@ -66,17 +66,27 @@ def _process_batch(out_dir: str, n_salts: int):
                 os.path.join(out_dir, "edges")
             )
             # same snapshot visibility contract as the batch pipeline:
-            # one atomic commit per micro-batch. A checkpoint-replayed
-            # batch appends duplicate doc_sha-keyed files and commits
-            # again — readers dedup by key, identical to the batch
-            # manifest's idempotent-rerun semantics.
-            post_files = _snap.list_data_files(out_dir)
-            _snap.commit_snapshot(
-                out_dir,
-                added={t: sorted(post_files[t] - pre_files.get(t, set())) for t in _snap.TABLES},
-                op="stream-append",
-                batch_id=str(batch_id),
+            # one atomic commit per micro-batch. A checkpoint-REPLAYED
+            # batch (crash after commit, before the checkpoint advanced)
+            # would otherwise re-append its rows under new part files and
+            # commit a SECOND stream-append snapshot, making read_table_at
+            # readers see duplicate doc_sha rows until they dedup
+            # (ADVICE r5): the batch_id recorded in each snapshot makes
+            # the replay detectable, so skip the commit — the replayed
+            # files then stay invisible orphans, matching the crash
+            # semantics everywhere else in this module.
+            already = any(
+                s.get("op") == "stream-append" and s.get("batch_id") == str(batch_id)
+                for s in _snap.list_snapshots(out_dir)
             )
+            if not already:
+                post_files = _snap.list_data_files(out_dir)
+                _snap.commit_snapshot(
+                    out_dir,
+                    added={t: sorted(post_files[t] - pre_files.get(t, set())) for t in _snap.TABLES},
+                    op="stream-append",
+                    batch_id=str(batch_id),
+                )
         finally:
             for c in caches:
                 try:

@@ -763,9 +763,17 @@ def test_equality_delete_merge_on_read(spark):
         # incremental works across the materialization (op=replace)
         # for ranges that don't cross the eq-delete itself
         mid = S.snapshots_table(spark, out).collect()
-        # maintenance unblocked; expire reaps the folded delete file
+        # maintenance unblocked; expire itself reaps the folded delete
+        # file (ADVICE r5: the takedown's KEY parquet must not linger
+        # readable after the two-step purge recipe) — no separate
+        # remove_orphan_files run needed
         S.expire_snapshots(out, keep_last=1)
-        assert S.remove_orphan_files(out, tables=("nodes",)) >= 1  # eqdel file reaped
+        eq_root = os.path.join(out, S.EQ_DELETE_DIR)
+        leftover = [
+            f for _d, _s, fs in os.walk(eq_root) for f in fs if f.endswith(".parquet")
+        ] if os.path.isdir(eq_root) else []
+        assert leftover == [], f"eq-delete key files lingered: {leftover}"
+        assert S.remove_orphan_files(out, tables=("nodes",)) == 0
         assert sorted((r["idspace"], r["x"]) for r in S.read_table_at(spark, out, "nodes").collect()) == head
         assert mid  # metadata table renders the eq-delete op
     finally:

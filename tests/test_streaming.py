@@ -186,6 +186,43 @@ def test_stream_build_kg_matches_batch_and_oracle(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_stream_kg_replayed_batch_commits_once(spark):
+    """A checkpoint-replayed micro-batch (same batch_id) must NOT commit
+    a second stream-append snapshot (ADVICE r5): snapshot readers keep
+    seeing exactly one copy of the batch's rows; the replay's re-written
+    part files stay invisible orphans (the module's crash semantics)."""
+    from fastobo_py_spark.sources.corpus import generate_corpus
+    from fastobo_py_spark.streaming.kg import _process_batch
+    from fastobo_py_spark.plans import snapshots as S
+    from fastobo_py_spark.schema import CORPUS_SCHEMA
+
+    base = tempfile.mkdtemp(prefix="stream_kg_replay_")
+    try:
+        out = f"{base}/out"
+        os.makedirs(out)
+        rows = generate_corpus(n_obo=6, n_noise=2, n_broken=0)
+        cols = [c.name for c in CORPUS_SCHEMA if c.name in rows[0]]
+        batch_df = spark.createDataFrame(
+            [tuple(r[c] for c in cols) for r in rows],
+            ", ".join(f"{c} string" for c in cols),
+        )
+        fn = _process_batch(out, n_salts=4)
+        fn(batch_df, 0)
+        snaps1 = S.list_snapshots(out)
+        n1 = S.read_table_at(spark, out, "edges").count()
+        assert len(snaps1) == 1 and snaps1[0]["batch_id"] == "0" and n1 > 0
+        # replay: same batch_id arrives again after a crash-before-checkpoint
+        fn(batch_df, 0)
+        snaps2 = S.list_snapshots(out)
+        assert len(snaps2) == 1, "replayed batch committed a second snapshot"
+        assert S.read_table_at(spark, out, "edges").count() == n1
+        # a NEW batch id still commits normally
+        fn(batch_df.limit(0), 1)
+        assert len(S.list_snapshots(out)) == 2
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_stream_exact_dedup_cross_batch(spark):
     """Cross-batch streaming dedup: exactly ONE output row per distinct
     content across the whole stream, no matter how the input is
