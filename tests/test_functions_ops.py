@@ -867,3 +867,28 @@ def test_corpus_shaping_semantics(spark):
     kept = stratified_sample(docs2, rdim).select("doc_id", "source").collect()
     assert {r["source"] for r in kept} == {"keep_all"}
     assert len(kept) == 20  # every keep_all doc survives via the max-rate row
+
+
+def test_ngram_jaccard_shuffle_fallback_identical(spark, monkeypatch):
+    """The r6 array-intersection rewrite of ngram_jaccard_pairs uses
+    size-gated broadcasts for the two set joins (and the candidate
+    pipeline's est joins). Above the gate the joins must degrade to the
+    shuffle plan with IDENTICAL values — forced here by zeroing the
+    broadcast row threshold, the path a 100 TB corpus would take."""
+    from fastobo_py_spark.operators import hints
+    from fastobo_py_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def run():
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(docs).collect()
+        )
+
+    broadcast = run()
+    monkeypatch.setattr(hints, "BROADCAST_ROW_THRESHOLD", 0)
+    fallback = run()
+    assert broadcast and broadcast == fallback  # bit-equal doubles, same pairs
